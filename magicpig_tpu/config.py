@@ -1,0 +1,251 @@
+"""Model and LSH configuration.
+
+Mirrors the knobs of the reference system (MagicPIG):
+  * LSH parameters K (bits per table) and L (number of tables)
+    — reference `models/attnserver.py:9-20`.
+  * Attention-cache partition: 4 sink tokens + 64 local tokens + a
+    generation buffer — reference `models/attnserver.py:14-16,25`.
+  * Dense layers (full attention, no sampling): default [0, 16, 32, 48, 64]
+    — reference `models/attnserver.py:18`.
+  * Chunked prefill size 8192 — reference `models/llama.py:100`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    """Llama-3 style RoPE frequency scaling (HF `rope_scaling` dict)."""
+
+    rope_type: str = "default"  # "default" | "llama3"
+    factor: float = 8.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Llama-family transformer shape (equivalent of HF LlamaConfig fields the
+    reference reads — `models/llama.py:78-90`)."""
+
+    name: str = "llama-tiny"
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    rope_scaling: RopeScaling | None = None
+    max_position_embeddings: int = 131072
+    tie_word_embeddings: bool = False
+    eos_token_ids: tuple[int, ...] = (128001, 128008, 128009)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def num_key_value_groups(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+    @classmethod
+    def from_hf_config(cls, path_or_dict, name: str = "hf-model") -> "ModelConfig":
+        """Build from a HuggingFace config.json (path or parsed dict)."""
+        if isinstance(path_or_dict, (str, os.PathLike)):
+            with open(path_or_dict) as f:
+                cfg = json.load(f)
+        else:
+            cfg = dict(path_or_dict)
+        rs = cfg.get("rope_scaling") or None
+        scaling = None
+        if rs is not None:
+            scaling = RopeScaling(
+                rope_type=rs.get("rope_type", rs.get("type", "default")),
+                factor=rs.get("factor", 8.0),
+                low_freq_factor=rs.get("low_freq_factor", 1.0),
+                high_freq_factor=rs.get("high_freq_factor", 4.0),
+                original_max_position_embeddings=rs.get(
+                    "original_max_position_embeddings", 8192
+                ),
+            )
+        eos = cfg.get("eos_token_id", 2)
+        eos = tuple(eos) if isinstance(eos, (list, tuple)) else (eos,)
+        hidden = cfg["hidden_size"]
+        heads = cfg["num_attention_heads"]
+        return cls(
+            name=name,
+            vocab_size=cfg["vocab_size"],
+            hidden_size=hidden,
+            intermediate_size=cfg["intermediate_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=heads,
+            num_key_value_heads=cfg.get("num_key_value_heads", heads),
+            head_dim=cfg.get("head_dim", hidden // heads),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=scaling,
+            max_position_embeddings=cfg.get("max_position_embeddings", 131072),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            eos_token_ids=eos,
+        )
+
+
+_LLAMA3_SCALING = RopeScaling(
+    rope_type="llama3",
+    factor=8.0,
+    low_freq_factor=1.0,
+    high_freq_factor=4.0,
+    original_max_position_embeddings=8192,
+)
+
+_LLAMA32_SCALING = dataclasses.replace(_LLAMA3_SCALING, factor=32.0)
+
+PRESETS: dict[str, ModelConfig] = {
+    # Tiny config for unit tests (fits CPU, exercises GQA).
+    "llama-tiny": ModelConfig(
+        name="llama-tiny",
+        vocab_size=512,
+        hidden_size=128,
+        intermediate_size=256,
+        num_hidden_layers=4,
+        num_attention_heads=8,
+        num_key_value_heads=2,
+        head_dim=16,
+        rope_theta=10000.0,
+        rope_scaling=None,
+        max_position_embeddings=4096,
+        eos_token_ids=(0,),
+    ),
+    "llama-3.2-1b": ModelConfig(
+        name="llama-3.2-1b",
+        hidden_size=2048,
+        intermediate_size=8192,
+        num_hidden_layers=16,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=64,
+        rope_scaling=_LLAMA32_SCALING,
+        tie_word_embeddings=True,
+    ),
+    "llama-3.2-3b": ModelConfig(
+        name="llama-3.2-3b",
+        hidden_size=3072,
+        intermediate_size=8192,
+        num_hidden_layers=28,
+        num_attention_heads=24,
+        num_key_value_heads=8,
+        head_dim=128,
+        rope_scaling=_LLAMA32_SCALING,
+        tie_word_embeddings=True,
+    ),
+    "llama-3.1-8b": ModelConfig(
+        name="llama-3.1-8b",
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=128,
+        rope_scaling=_LLAMA3_SCALING,
+    ),
+    "llama-3.1-70b": ModelConfig(
+        name="llama-3.1-70b",
+        hidden_size=8192,
+        intermediate_size=28672,
+        num_hidden_layers=80,
+        num_attention_heads=64,
+        num_key_value_heads=8,
+        head_dim=128,
+        rope_scaling=_LLAMA3_SCALING,
+    ),
+    "llama-2-7b": ModelConfig(
+        name="llama-2-7b",
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=32,
+        head_dim=128,
+        rope_theta=10000.0,
+        max_position_embeddings=4096,
+        eos_token_ids=(2,),
+    ),
+    "mistral-7b": ModelConfig(
+        name="mistral-7b",
+        vocab_size=32768,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=128,
+        rope_theta=1000000.0,
+        max_position_embeddings=131072,
+        eos_token_ids=(2,),
+    ),
+}
+
+
+def default_dense_layers(num_layers: int) -> tuple[int, ...]:
+    """Layers that keep full (dense) attention.
+
+    The reference hard-codes [0, 16, 32, 48, 64] and relies on layers beyond
+    `num_layers` being no-ops (`models/attnserver.py:18`): for a 32-layer
+    model that means layers {0, 16}. We keep the same rule.
+    """
+    return tuple(l for l in (0, 16, 32, 48, 64) if l < num_layers)
+
+
+@dataclasses.dataclass(frozen=True)
+class LSHConfig:
+    """LSH sampling parameters (reference `models/attnserver.py:9-20`).
+
+    K: bits per hash table; L: number of tables. K=0 disables sampling
+    (full attention everywhere), matching the reference's `K=0 → AttnServer`
+    selection (`models/llama.py:91-96`).
+    """
+
+    K: int = 10
+    L: int = 150
+    num_sink_tokens: int = 4
+    num_local_tokens: int = 64
+    generation_buffer: int = 256
+    dense_layers: tuple[int, ...] | None = None  # None → default rule
+    # Static per-head sample budget as a fraction of the offloaded
+    # (middle) sequence. The expected collision rate at K=10/L=150 is ~2%
+    # (README.md:37-45); 6% gives generous headroom before truncation.
+    sample_budget_frac: float = 0.06
+    min_sample_budget: int = 128
+
+    @property
+    def enabled(self) -> bool:
+        return self.K > 0
+
+    def dense_layers_for(self, num_layers: int) -> tuple[int, ...]:
+        if not self.enabled:
+            return tuple(range(num_layers))
+        if self.dense_layers is not None:
+            return tuple(l for l in self.dense_layers if l < num_layers)
+        return default_dense_layers(num_layers)
+
+    def sample_budget(self, offload_len: int) -> int:
+        """Static padded budget of sampled tokens per (head, step)."""
+        b = max(self.min_sample_budget, int(math.ceil(offload_len * self.sample_budget_frac)))
+        # Round to a lane-friendly multiple.
+        return min(offload_len, ((b + 127) // 128) * 128)
+
+
+def preset(name: str) -> ModelConfig:
+    if name in PRESETS:
+        return PRESETS[name]
+    raise KeyError(f"unknown model preset {name!r}; known: {sorted(PRESETS)}")
