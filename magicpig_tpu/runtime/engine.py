@@ -1,0 +1,231 @@
+"""The LLM engine: prefill / inference / generate / clear.
+
+API-equivalent of the reference `LLM` (`models/llama.py:64-365`) redesigned
+around jitted pure functions:
+  * `prefill` runs layer-by-layer over the whole (padded) prompt with
+    statically-chunked flash attention and a scan-chunked MLP (the
+    reference's 8192-token chunk pipeline, `models/llama.py:222-286`),
+    filling the attention-server state per layer.
+  * `inference` is ONE jitted decode step over all layers (dense and sparse
+    paths chosen statically per layer), with the state donated so cache
+    updates are in-place in HBM.
+  * `generate` samples on-device (top-p/greedy) and only syncs a scalar
+    token per step for the EOS check, like the reference's loop
+    (`models/llama.py:327-360`).
+
+LSH hash projections come from a replicated PRNG key — the TPU replacement
+for the reference's rank-0 broadcast of `hash_func`
+(`attnserver_dist.py:279`).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magicpig_tpu.config import LSHConfig, ModelConfig, preset
+from magicpig_tpu.models.llama import (
+    LlamaParams,
+    init_params,
+    post_attention,
+    qkv_proj,
+    unembed,
+)
+from magicpig_tpu.ops.attention import flash_prefill
+from magicpig_tpu.ops.hashing import make_hash_projections
+from magicpig_tpu.ops.sampling import greedy_sample, top_p_sample
+from magicpig_tpu.runtime import state as state_lib
+from magicpig_tpu.runtime.server import (
+    decode_dense_layer,
+    decode_sparse_layer,
+    fill_dense_layer,
+    fill_sparse_layer,
+)
+
+
+class LLM:
+    """LSH-sampled decoding engine (reference `LLM`, `models/llama.py:64`)."""
+
+    def __init__(self, model: str | ModelConfig = "llama-tiny", K: int = 10,
+                 L: int = 150, batch_size: int = 1, max_length: int = 8192,
+                 generation_buffer: int = 256, chunk_size: int = 8192,
+                 params: LlamaParams | None = None, seed: int = 0,
+                 lsh: LSHConfig | None = None):
+        self.config = preset(model) if isinstance(model, str) else model
+        self.lsh = lsh if lsh is not None else LSHConfig(
+            K=K, L=L, generation_buffer=generation_buffer)
+        self.batch_size = batch_size
+        self.max_length = max_length
+        self.chunk_size = chunk_size
+        self.groups = state_lib.layer_groups(self.config, self.lsh)
+
+        key = jax.random.key(seed)
+        pkey, hkey, self._sample_key = jax.random.split(key, 3)
+        self.params = params if params is not None else init_params(
+            self.config, pkey, max_length)
+        self.projections = make_hash_projections(
+            hkey, self.config.head_dim, max(self.lsh.K, 1), max(self.lsh.L, 1))
+        self.state = state_lib.init_state(
+            self.config, self.lsh, batch_size, max_length)
+
+        self._decode_jit = jax.jit(self._decode_fn, donate_argnums=(1,))
+        self._prefill_jit = jax.jit(
+            self._prefill_fn, donate_argnums=(1,), static_argnames=("p_pad",))
+        self._sample_jit = jax.jit(
+            self._sample_fn, static_argnames=("temperature", "top_p"))
+        # Observability: mean sampled fraction over decode steps (the
+        # reference's "Avg Sparsity", `xllm_gen.py:184-190`).
+        self._sparsity_sum = 0.0
+        self._sparsity_steps = 0
+
+    # -- pure functions (jitted in __init__) --------------------------------
+
+    def _prefill_fn(self, params: LlamaParams, state, tokens, true_len, req,
+                    *, p_pad: int):
+        cfg, lsh = self.config, self.lsh
+        c = min(self.chunk_size, p_pad)
+        n_chunks = p_pad // c
+        hidden = params.embed[tokens][None]                  # [1, P, h]
+        positions = jnp.arange(p_pad, dtype=jnp.int32)[None]
+
+        for i, (kind, gi) in enumerate(self.groups):
+            lp = params.layers.layer(i)
+            q, k, v = qkv_proj(lp, cfg, hidden, positions, params.cos, params.sin)
+            outs = []
+            for j in range(n_chunks):
+                cs, ce = j * c, (j + 1) * c
+                o = flash_prefill(q[:, cs:ce], k[:, :ce], v[:, :ce],
+                                  jnp.int32(cs), jnp.int32(ce), block_k=c)
+                outs.append(o.reshape(1, c, -1))
+            attn = jnp.concatenate(outs, axis=1)             # [1, P, Hq*d]
+
+            # o_proj + MLP, scan-chunked to bound the [c, inter] transient.
+            def mlp_chunk(_, xs):
+                a, r = xs
+                return None, post_attention(lp, cfg, a, r)
+            _, hidden = jax.lax.scan(
+                mlp_chunk, None,
+                (attn.reshape(n_chunks, 1, c, -1),
+                 hidden.reshape(n_chunks, 1, c, -1)))
+            hidden = hidden.reshape(1, p_pad, -1)
+
+            if kind == "dense":
+                state = fill_dense_layer(state, gi, req, k[0], v[0], true_len)
+            else:
+                state = fill_sparse_layer(state, gi, req, k[0], v[0],
+                                          true_len, self.projections, lsh)
+
+        last = jax.lax.dynamic_slice(hidden, (0, true_len - 1, 0),
+                                     (1, 1, hidden.shape[-1]))[:, 0]
+        logits = unembed(params, cfg, last)                  # [1, V]
+        state = state.replace(pos=state.pos.at[req].set(true_len))
+        return state, logits
+
+    def _decode_fn(self, params: LlamaParams, state, tokens):
+        cfg, lsh = self.config, self.lsh
+        b = tokens.shape[0]
+        hidden = params.embed[tokens]                        # [B, h]
+        positions = state.pos
+        frac_sum = jnp.float32(0.0)
+        n_sparse = 0
+        for i, (kind, gi) in enumerate(self.groups):
+            lp = params.layers.layer(i)
+            q, k, v = qkv_proj(lp, cfg, hidden[:, None], positions[:, None],
+                               params.cos, params.sin)
+            q, k, v = q[:, 0], k[:, 0], v[:, 0]              # [B,H,d]
+            if kind == "dense":
+                out, state = decode_dense_layer(state, gi, q, k, v)
+            else:
+                out, state, frac = decode_sparse_layer(
+                    state, gi, q, k, v, self.projections, lsh)
+                frac_sum = frac_sum + frac
+                n_sparse += 1
+            hidden = post_attention(
+                lp, cfg, out.reshape(b, 1, -1), hidden[:, None])[:, 0]
+        logits = unembed(params, cfg, hidden)                # [B, V]
+        state = state.replace(
+            pos=state.pos + 1,
+            dense_len=state.dense_len + 1,
+            hot_len=state.hot_len + 1,
+        )
+        return state, logits, frac_sum / max(n_sparse, 1)
+
+    @staticmethod
+    def _sample_fn(key, logits, *, temperature: float, top_p: float):
+        if temperature < 0.1:
+            return greedy_sample(logits)
+        return top_p_sample(key, logits, temperature, top_p)
+
+    # -- public API ----------------------------------------------------------
+
+    def prefill(self, input_ids, request_id: int = 0):
+        """Prefill one request into slot `request_id`; returns logits [1, V]."""
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        p = len(ids)
+        assert p >= self.lsh.num_sink_tokens + self.lsh.num_local_tokens + 1, (
+            "prompt shorter than sink+local tokens")
+        assert p <= self.max_length
+        c = min(self.chunk_size, self.max_length)
+        p_pad = ((p + c - 1) // c) * c
+        tokens = np.zeros((p_pad,), np.int32)
+        tokens[:p] = ids
+        self.state, logits = self._prefill_jit(
+            self.params, self.state, jnp.asarray(tokens), jnp.int32(p),
+            jnp.int32(request_id), p_pad=p_pad)
+        return logits
+
+    def inference(self, input_ids):
+        """One decode step for the whole batch; returns logits [B, V]."""
+        tokens = jnp.asarray(np.asarray(input_ids, np.int32).reshape(-1))
+        self.state, logits, frac = self._decode_jit(
+            self.params, self.state, tokens)
+        if self.lsh.enabled:
+            self._sparsity_sum += float(frac)
+            self._sparsity_steps += 1
+        return logits
+
+    @property
+    def avg_sparsity(self) -> float:
+        """Mean sampled fraction over decode steps (reference "Avg Sparsity",
+        `evaluations/RULER/pred/xllm_gen.py:184-190`)."""
+        return self._sparsity_sum / max(self._sparsity_steps, 1)
+
+    def generate(self, input_ids, max_tokens: int = 128,
+                 temperature: float = 0.6, top_p: float = 0.9,
+                 verbose: bool = False):
+        """Prefill + decode loop with on-device sampling; returns token list
+        (reference `models/llama.py:327-360`)."""
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        logits = self.prefill(ids, request_id=0)
+        jax.block_until_ready(logits)
+        t1 = time.perf_counter()
+        generated: list[int] = []
+        key = self._sample_key
+        for _ in range(max_tokens):
+            key, sub = jax.random.split(key)
+            token = self._sample_jit(sub, logits, temperature=temperature,
+                                     top_p=top_p)
+            tok = int(np.asarray(token)[0])
+            generated.append(tok)
+            if tok in self.config.eos_token_ids:
+                break
+            logits = self.inference(token)
+        t2 = time.perf_counter()
+        if verbose:
+            n = len(generated)
+            print(f"[INFO] Prefill {len(ids)} tokens")
+            print(f"[INFO] Generate {n} tokens")
+            print(f"[INFO] Decoding Latency {1000 * (t2 - t1) / max(n,1):.2f} ms/token")
+        self.clear()
+        return generated
+
+    def clear(self):
+        """Reset all server state (reference `clear`, `attnserver.py:314`)."""
+        self.state = state_lib.init_state(
+            self.config, self.lsh, self.batch_size, self.max_length)
+        self._sparsity_sum = 0.0
+        self._sparsity_steps = 0

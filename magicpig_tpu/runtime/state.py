@@ -1,0 +1,100 @@
+"""Decode-time cache state for the attention servers.
+
+TPU redesign of the reference's split storage (`models/attnserver.py`):
+the reference keeps sink/local/generated tokens in a GPU paged cache and
+offloads the middle of the KV cache to CPU DRAM with bf16 mirrors + norms
+(`attnserver.py:94-110,136-175`). On TPU everything lives in HBM as static
+arrays; the "offload" region is simply the part of the cache that decode
+touches only through LSH sampling.
+
+Layout notes:
+  * per-layer arrays are stacked over the *dense* and *sparse* layer groups
+    separately (different shapes), indexed by position within the group;
+  * keys in sparse layers are stored centered by `avg_k` (reference
+    `attnserver.py:144-145,275`) — hot and offload alike, so the dense and
+    sampled partials share a consistent score shift that cancels in the
+    LSE merge;
+  * `hot` = sink + local + generation buffer (reference `self.length`,
+    `attnserver.py:25`).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from magicpig_tpu.config import LSHConfig, ModelConfig
+
+
+@flax.struct.dataclass
+class DecodeState:
+    """All attention-server state for one engine instance."""
+
+    # Dense (full-attention) layers: [Nd, B, Hkv, max_len, d]
+    dense_k: jax.Array
+    dense_v: jax.Array
+    dense_len: jax.Array      # [B] i32 — valid tokens per request
+
+    # Sparse layers — hot region (sink+local+generated), centered keys:
+    hot_k: jax.Array          # [Ns, B, Hkv, hot_cap, d]
+    hot_v: jax.Array
+    hot_len: jax.Array        # [B] i32
+
+    # Sparse layers — offloaded middle (LSH-sampled), centered keys:
+    off_k: jax.Array          # [Ns, B, Hkv, off_cap, d]
+    off_v: jax.Array
+    k_norm: jax.Array         # [Ns, B, Hkv, off_cap] f32 (centered-key norms)
+    avg_k: jax.Array          # [Ns, B, Hkv, d] f32 (per-head mean offload key)
+    k_codes: jax.Array        # [Ns, B, Hkv, off_cap, L] i16 SimHash codes
+    off_len: jax.Array        # [B] i32
+
+    pos: jax.Array            # [B] i32 — next absolute position
+
+
+def hot_capacity(lsh: LSHConfig) -> int:
+    cap = lsh.num_sink_tokens + lsh.num_local_tokens + lsh.generation_buffer
+    return ((cap + 127) // 128) * 128  # lane-aligned
+
+
+def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
+               max_length: int) -> DecodeState:
+    dense = lsh.dense_layers_for(config.num_hidden_layers)
+    nd = len(dense)
+    ns = config.num_hidden_layers - nd
+    b = batch_size
+    hkv = config.num_key_value_heads
+    d = config.head_dim
+    dt = config.dtype
+    off_cap = max(0, max_length - lsh.num_sink_tokens - lsh.num_local_tokens)
+    L = max(lsh.L, 1)
+    return DecodeState(
+        dense_k=jnp.zeros((nd, b, hkv, max_length, d), dt),
+        dense_v=jnp.zeros((nd, b, hkv, max_length, d), dt),
+        dense_len=jnp.zeros((b,), jnp.int32),
+        hot_k=jnp.zeros((ns, b, hkv, hot_capacity(lsh), d), dt),
+        hot_v=jnp.zeros((ns, b, hkv, hot_capacity(lsh), d), dt),
+        hot_len=jnp.zeros((b,), jnp.int32),
+        off_k=jnp.zeros((ns, b, hkv, off_cap, d), dt),
+        off_v=jnp.zeros((ns, b, hkv, off_cap, d), dt),
+        k_norm=jnp.zeros((ns, b, hkv, off_cap), jnp.float32),
+        avg_k=jnp.zeros((ns, b, hkv, d), jnp.float32),
+        k_codes=jnp.zeros((ns, b, hkv, off_cap, L), jnp.int16),
+        off_len=jnp.zeros((b,), jnp.int32),
+        pos=jnp.zeros((b,), jnp.int32),
+    )
+
+
+def layer_groups(config: ModelConfig, lsh: LSHConfig):
+    """Map each layer index to ('dense'|'sparse', index-within-group)."""
+    dense = set(lsh.dense_layers_for(config.num_hidden_layers))
+    groups = []
+    di = si = 0
+    for i in range(config.num_hidden_layers):
+        if i in dense:
+            groups.append(("dense", di))
+            di += 1
+        else:
+            groups.append(("sparse", si))
+            si += 1
+    return groups

@@ -1,0 +1,167 @@
+"""End-to-end engine tests on the tiny model.
+
+The strongest check mirrors the reference's strategy of cross-checking
+against HF transformers (`evaluations/RULER/pred/llama_ref.py` is an HF fork
+used as the accuracy oracle): the K=0 (full attention) engine must match
+HF LlamaForCausalLM logits on the same random weights.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicpig_tpu.config import LSHConfig, preset
+from magicpig_tpu.models.loader import params_from_state_dict
+from magicpig_tpu.runtime.engine import LLM
+
+TINY = preset("llama-tiny")
+MAX_LEN = 256
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM
+
+    hf_cfg = HFConfig(
+        vocab_size=TINY.vocab_size,
+        hidden_size=TINY.hidden_size,
+        intermediate_size=TINY.intermediate_size,
+        num_hidden_layers=TINY.num_hidden_layers,
+        num_attention_heads=TINY.num_attention_heads,
+        num_key_value_heads=TINY.num_key_value_heads,
+        head_dim=TINY.head_dim,
+        rms_norm_eps=TINY.rms_norm_eps,
+        rope_theta=TINY.rope_theta,
+        max_position_embeddings=TINY.max_position_embeddings,
+        attention_bias=False,
+        mlp_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def tiny_params(hf_model):
+    cfg = dataclasses.replace(TINY, dtype=jnp.float32)
+    return params_from_state_dict(cfg, hf_model.state_dict(), MAX_LEN,
+                                  dtype=jnp.float32)
+
+
+def _fp32_tiny():
+    return dataclasses.replace(TINY, dtype=jnp.float32)
+
+
+def _make_llm(K, L, params, batch_size=1, **kw):
+    lsh = LSHConfig(K=K, L=L, num_sink_tokens=4, num_local_tokens=16,
+                    generation_buffer=32, **kw)
+    return LLM(_fp32_tiny(), batch_size=batch_size, max_length=MAX_LEN,
+               chunk_size=32, params=params, lsh=lsh)
+
+
+def test_full_attention_engine_matches_hf_logits(hf_model, tiny_params):
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, TINY.vocab_size, size=100).astype(np.int32)
+
+    llm = _make_llm(K=0, L=0, params=tiny_params)
+    logits = np.asarray(llm.prefill(prompt))
+
+    with torch.no_grad():
+        hf_out = hf_model(torch.tensor(prompt[None].astype(np.int64))).logits
+    hf_last = hf_out[0, -1].numpy()
+    np.testing.assert_allclose(logits[0], hf_last, rtol=2e-3, atol=2e-3)
+
+    # Greedy decode 8 steps and compare tokens (the decisive parity check).
+    tok = int(logits[0].argmax())
+    ours = [tok]
+    for _ in range(7):
+        logits_step = np.asarray(llm.inference(np.asarray([tok])))
+        tok = int(logits_step[0].argmax())
+        ours.append(tok)
+
+    with torch.no_grad():
+        ids = torch.tensor(prompt[None].astype(np.int64))
+        hf_tokens = hf_model.generate(
+            ids, max_new_tokens=8, do_sample=False)[0, len(prompt):].tolist()
+    assert ours == hf_tokens
+
+
+def test_lsh_engine_tracks_full_attention(hf_model, tiny_params):
+    """Plumbing check with K=1, L=32: every key collides in >=2 tables with
+    prob ~0.9998 and the debias weight is ~1, so the LSH engine must track
+    the K=0 engine tightly through decode — this exercises centering, norms,
+    codes, masking and the LSE merge end-to-end. (Statistical quality of
+    real sparse sampling is covered by the concentrated-key test in
+    test_attention_ops.py; a random-weight tiny model has diffuse attention
+    where top-1 agreement is meaningless.)"""
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(1, TINY.vocab_size, size=120).astype(np.int32)
+
+    full = _make_llm(K=0, L=0, params=tiny_params)
+    lsh = _make_llm(K=1, L=32, params=tiny_params)
+
+    lf = np.asarray(full.prefill(prompt))
+    ls = np.asarray(lsh.prefill(prompt))
+    # Prefill is exact in both engines (full attention during prefill).
+    np.testing.assert_allclose(ls, lf, rtol=1e-3, atol=1e-3)
+
+    tok = int(lf[0].argmax())
+    for _ in range(4):
+        lf = np.asarray(full.inference(np.asarray([tok])))
+        ls = np.asarray(lsh.inference(np.asarray([tok])))
+        err = np.abs(ls - lf).max() / max(np.abs(lf).max(), 1e-6)
+        assert err < 0.05, f"K=1/L=32 decode logits diverge: {err}"
+        assert int(lf[0].argmax()) == int(ls[0].argmax())
+        tok = int(lf[0].argmax())
+    assert lsh.avg_sparsity > 0.9  # nearly everything sampled at K=1/L=32
+
+    # Real sparse setting runs and is actually sparse.
+    sparse = _make_llm(K=6, L=40, params=tiny_params)
+    sparse.prefill(prompt)
+    out = np.asarray(sparse.inference(np.asarray([tok])))
+    assert np.isfinite(out).all()
+    assert 0 < sparse.avg_sparsity < 0.6
+
+
+def test_batched_decode_two_requests(tiny_params):
+    """Reference batch flow: sequential prefills into slots, batched decode
+    (`examples/batch_generation.py:43-59`)."""
+    rng = np.random.default_rng(2)
+    p0 = rng.integers(1, TINY.vocab_size, size=64).astype(np.int32)
+    p1 = rng.integers(1, TINY.vocab_size, size=96).astype(np.int32)
+
+    llm = _make_llm(K=6, L=40, params=tiny_params, )
+    single = _make_llm(K=6, L=40, params=tiny_params)
+    batched = LLM(_fp32_tiny(), batch_size=2, max_length=MAX_LEN,
+                  chunk_size=32, params=tiny_params,
+                  lsh=LSHConfig(K=6, L=40, num_sink_tokens=4,
+                                num_local_tokens=16, generation_buffer=32))
+    l0 = batched.prefill(p0, request_id=0)
+    l1 = batched.prefill(p1, request_id=1)
+
+    s0 = np.asarray(single.prefill(p0))
+    np.testing.assert_allclose(np.asarray(l0)[0], s0[0], rtol=1e-3, atol=1e-3)
+
+    toks = np.asarray([int(np.asarray(l0)[0].argmax()),
+                       int(np.asarray(l1)[0].argmax())], np.int32)
+    step = batched.inference(toks)
+    ss = np.asarray(single.inference(toks[:1]))
+    np.testing.assert_allclose(np.asarray(step)[0], ss[0], rtol=1.5e-3,
+                               atol=1.5e-3)
+
+
+def test_generate_runs_and_clears(tiny_params):
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, TINY.vocab_size, size=80).astype(np.int32)
+    llm = _make_llm(K=6, L=40, params=tiny_params)
+    out = llm.generate(prompt, max_tokens=5, temperature=0.0)
+    assert 1 <= len(out) <= 5
+    assert all(isinstance(t, int) for t in out)
+    assert int(np.asarray(llm.state.pos)[0]) == 0  # cleared
