@@ -226,6 +226,12 @@ class LSHConfig:
     # (README.md:37-45); 6% gives generous headroom before truncation.
     sample_budget_frac: float = 0.06
     min_sample_budget: int = 128
+    # Decode formulation: "sampled" compacts the collision mask to a static
+    # budget of token ids and attends over the gathered rows (the fast
+    # path — attention FLOPs scale with the budget, not the context);
+    # "masked" computes dense QK with -inf masking (the accuracy oracle,
+    # mathematically identical whenever the budget covers every collision).
+    decode_mode: str = "sampled"
 
     @property
     def enabled(self) -> bool:

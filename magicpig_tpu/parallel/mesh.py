@@ -1,0 +1,93 @@
+"""Mesh-based parallelism: tensor-parallel heads + data-parallel batch.
+
+TPU-native equivalent of the reference's Megatron-style TP runtime
+(`evaluations/RULER/pred/llama_dist.py:47-77`: column-split q/k/v/gate/up,
+row-split o/down, NCCL all-reduce after o_proj and down_proj at :209,218).
+Here the same math is expressed as shardings over a `("data", "model")`
+mesh; XLA GSPMD inserts the ICI all-reduces. The attention servers shard by
+KV head — each shard holds its heads' caches, codes and sampled partials,
+exactly like the reference's per-rank head-sharded servers
+(`attnserver_dist.py:252-254,587-589`). Hash projections are replicated
+from a shared PRNG key (replaces the rank-0 broadcast at
+`attnserver_dist.py:279`).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from magicpig_tpu.models.llama import LayerParams, LlamaParams
+from magicpig_tpu.runtime.state import DecodeState
+
+
+def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_model, (
+        f"need {n_data * n_model} devices, have {len(devices)}")
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, ("data", "model"))
+
+
+def param_pspecs(params: LlamaParams) -> LlamaParams:
+    """Megatron TP layout: attention/MLP inner dims on `model`."""
+    layer_specs = LayerParams(
+        wq=P(None, None, "model"),
+        wk=P(None, None, "model"),
+        wv=P(None, None, "model"),
+        wo=P(None, "model", None),
+        w_gate=P(None, None, "model"),
+        w_up=P(None, None, "model"),
+        w_down=P(None, "model", None),
+        ln_attn=P(None, None),
+        ln_mlp=P(None, None),
+    )
+    return LlamaParams(
+        embed=P(None, None),
+        lm_head=P(None, "model"),   # vocab-sharded logits
+        final_ln=P(None),
+        layers=layer_specs,
+        cos=P(None, None),
+        sin=P(None, None),
+    )
+
+
+def state_pspecs(state: DecodeState) -> DecodeState:
+    """Caches shard by (batch -> data, kv-head -> model)."""
+    kv = P(None, "data", "model", None, None)
+    return DecodeState(
+        dense_k=kv, dense_v=kv,
+        dense_len=P("data"),
+        hot_k=kv, hot_v=kv,
+        hot_len=P("data"),
+        off_k=kv, off_v=kv,
+        k_norm=P(None, "data", "model", None),
+        avg_k=P(None, "data", "model", None),
+        k_codes=P(None, "data", "model", None, None),
+        off_len=P("data"),
+        pos=P("data"),
+    )
+
+
+def _put(tree, spec_tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, spec_tree)
+
+
+def shard_engine(llm, mesh: Mesh):
+    """Shard an existing LLM engine's params and state over `mesh`.
+
+    The engine's jitted functions pick up shardings from their inputs
+    (GSPMD propagation); donated state keeps its sharding across steps.
+    """
+    assert llm.config.num_key_value_heads % mesh.shape["model"] == 0, (
+        "kv heads must divide the model axis")
+    assert llm.batch_size % mesh.shape["data"] == 0, (
+        "batch must divide the data axis")
+    llm.params = _put(llm.params, param_pspecs(llm.params), mesh)
+    llm.state = _put(llm.state, state_pspecs(llm.state), mesh)
+    llm.projections = jax.device_put(
+        llm.projections, NamedSharding(mesh, P(None, None)))
+    llm.mesh = mesh
+    return llm

@@ -73,6 +73,9 @@ class LLM:
             self.config, self.lsh, batch_size, max_length)
 
         self._decode_jit = jax.jit(self._decode_fn, donate_argnums=(1,))
+        self._decode_scan_jit = jax.jit(
+            self._decode_scan_fn, donate_argnums=(1,),
+            static_argnames=("n_steps",))
         self._prefill_jit = jax.jit(
             self._prefill_fn, donate_argnums=(1,), static_argnames=("p_pad",))
         self._sample_jit = jax.jit(
@@ -153,6 +156,31 @@ class LLM:
             hot_len=state.hot_len + 1,
         )
         return state, logits, frac_sum / max(n_sparse, 1)
+
+    def _decode_scan_fn(self, params: LlamaParams, state, tokens, *,
+                        n_steps: int):
+        """Run `n_steps` greedy decode steps in ONE dispatch (lax.scan over
+        steps). The reference must round-trip to the host per token; on TPU
+        on-device sampling lets the whole decode loop stay resident, which
+        also amortizes dispatch overhead in benchmarks."""
+        def step(carry, _):
+            state, toks = carry
+            state, logits, frac = self._decode_fn(params, state, toks)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (state, nxt), (nxt, frac)
+        (state, _), (toks, fracs) = jax.lax.scan(
+            step, (state, tokens), None, length=n_steps)
+        return state, toks, jnp.mean(fracs)
+
+    def decode_steps(self, input_ids, n_steps: int):
+        """Greedy-decode n_steps tokens in one dispatch; returns [n_steps, B]."""
+        tokens = jnp.asarray(np.asarray(input_ids, np.int32).reshape(-1))
+        self.state, toks, frac = self._decode_scan_jit(
+            self.params, self.state, tokens, n_steps=n_steps)
+        if self.lsh.enabled:
+            self._sparsity_sum += float(frac) * n_steps
+            self._sparsity_steps += n_steps
+        return toks
 
     @staticmethod
     def _sample_fn(key, logits, *, temperature: float, top_p: float):

@@ -22,6 +22,8 @@ from magicpig_tpu.ops.attention import (
     collision_mask,
     full_decode,
     lsh_masked_decode,
+    lsh_sampled_decode,
+    mask_to_budget_ids,
 )
 from magicpig_tpu.ops.hashing import hash_codes
 from magicpig_tpu.ops.merge import merge_partials
@@ -153,9 +155,16 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
     off_cap = state.off_k.shape[3]
     valid = jnp.arange(off_cap)[None, None, :] < state.off_len[:, None, None]
     mask = mask & valid
-    o_smp, lse_smp = lsh_masked_decode(
-        q, state.off_k[si], state.off_v[si], state.k_norm[si], mask,
-        state.off_len, lsh.K, lsh.L)
+    if lsh.decode_mode == "sampled":
+        budget = lsh.sample_budget(off_cap)
+        ids, ids_valid = mask_to_budget_ids(mask, budget)
+        o_smp, lse_smp = lsh_sampled_decode(
+            q, state.off_k[si], state.off_v[si], state.k_norm[si], ids,
+            ids_valid, lsh.K, lsh.L)
+    else:
+        o_smp, lse_smp = lsh_masked_decode(
+            q, state.off_k[si], state.off_v[si], state.k_norm[si], mask,
+            state.off_len, lsh.K, lsh.L)
 
     out, _ = merge_partials([o_hot, o_smp], [lse_hot, lse_smp])
     sampled_frac = mask.sum() / jnp.maximum(state.off_len.sum() * hq, 1)

@@ -1,0 +1,44 @@
+"""Synthetic state construction for benchmarking.
+
+Builds a post-prefill `DecodeState` at a given context length from random
+K/V — going through the REAL fill functions (centering, norms, SimHash
+codes), so decode-time behavior is identical to a real prefill. Decode cost
+does not depend on cache values, so this yields honest decode benchmarks
+without paying a full-context prefill (the reference's bench prefills real
+text first, `examples/bench.py:43-44`; on the bench TPU a 96K prefill is
+prohibitively slow, the decode loop is the metric either way).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from magicpig_tpu.runtime.server import fill_dense_layer, fill_sparse_layer
+
+
+def synthetic_prefill(llm, seq_len: int, seed: int = 0):
+    """Fill every layer of `llm.state` with random K/V at `seq_len` tokens."""
+    cfg, lsh = llm.config, llm.lsh
+    hkv, d = cfg.num_key_value_heads, cfg.head_dim
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill_all(state, key):
+        for i, (kind, gi) in enumerate(llm.groups):
+            k1, k2, key = jax.random.split(key, 3)
+            for r in range(llm.batch_size):
+                kf = jax.random.normal(k1, (seq_len, hkv, d), cfg.dtype)
+                vf = jax.random.normal(k2, (seq_len, hkv, d), cfg.dtype)
+                if kind == "dense":
+                    state = fill_dense_layer(state, gi, jnp.int32(r), kf, vf,
+                                             jnp.int32(seq_len))
+                else:
+                    state = fill_sparse_layer(state, gi, jnp.int32(r), kf, vf,
+                                              jnp.int32(seq_len),
+                                              llm.projections, lsh)
+        return state.replace(pos=jnp.full_like(state.pos, seq_len))
+
+    llm.state = fill_all(llm.state, jax.random.key(seed))
+    return llm
