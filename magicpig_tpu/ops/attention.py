@@ -147,16 +147,20 @@ def full_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def collision_mask(q_codes: jnp.ndarray, k_codes: jnp.ndarray) -> jnp.ndarray:
     """>=2-of-L-tables collision mask.
 
-    q_codes: [B, Hq, L] int32; k_codes: [B, Hkv, S, L] int32.
-    Returns bool [B, Hq, S]. Matches `(q == k).sum(-1) > 1`
-    (reference `attnserver_dist.py:822`, `lsh.cc:272-283`).
+    q_codes: [B, Hq, L]; k_codes: [B, Hkv, L, S] (tables-minor layout so the
+    int16 lane dim is the sequence). Returns bool [B, Hq, S]. Matches
+    `(q == k).sum(-1) > 1` (reference `attnserver_dist.py:822`,
+    `lsh.cc:272-283`).
     """
     b, hq, L = q_codes.shape
-    hkv, s = k_codes.shape[1], k_codes.shape[2]
+    hkv, s = k_codes.shape[1], k_codes.shape[3]
     g = hq // hkv
-    qc = q_codes.reshape(b, hkv, g, 1, L)
-    kc = k_codes[:, :, None]  # [B,Hkv,1,S,L]
-    count = jnp.sum((qc == kc).astype(jnp.int32), axis=-1)  # [B,Hkv,G,S]
+    qc = q_codes.astype(k_codes.dtype).reshape(b, hkv, g, L, 1)
+    kc = k_codes[:, :, None]  # [B,Hkv,1,L,S]
+    # int16 accumulator: a fully-aligned key can match all L=150 tables,
+    # which would overflow int8.
+    count = jnp.sum((qc == kc).astype(jnp.int16), axis=3,
+                    dtype=jnp.int16)  # [B,Hkv,G,S]
     return (count >= 2).reshape(b, hq, s)
 
 

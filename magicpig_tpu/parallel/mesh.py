@@ -54,17 +54,20 @@ def param_pspecs(params: LlamaParams) -> LlamaParams:
 
 
 def state_pspecs(state: DecodeState) -> DecodeState:
-    """Caches shard by (batch -> data, kv-head -> model)."""
-    kv = P(None, "data", "model", None, None)
+    """Caches shard by (batch -> data, kv-head -> model); per-layer tuples."""
+    def per(field, spec):
+        return tuple(spec for _ in field)
+
+    kv = P("data", "model", None, None)
     return DecodeState(
-        dense_k=kv, dense_v=kv,
+        dense_k=per(state.dense_k, kv), dense_v=per(state.dense_v, kv),
         dense_len=P("data"),
-        hot_k=kv, hot_v=kv,
+        hot_k=per(state.hot_k, kv), hot_v=per(state.hot_v, kv),
         hot_len=P("data"),
-        off_k=kv, off_v=kv,
-        k_norm=P(None, "data", "model", None),
-        avg_k=P(None, "data", "model", None),
-        k_codes=P(None, "data", "model", None, None),
+        off_k=per(state.off_k, kv), off_v=per(state.off_v, kv),
+        k_norm=per(state.k_norm, P("data", "model", None)),
+        avg_k=per(state.avg_k, P("data", "model", None)),
+        k_codes=per(state.k_codes, P("data", "model", None, None)),
         off_len=P("data"),
         pos=P("data"),
     )

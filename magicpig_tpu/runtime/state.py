@@ -8,8 +8,12 @@ arrays; the "offload" region is simply the part of the cache that decode
 touches only through LSH sampling.
 
 Layout notes:
-  * per-layer arrays are stacked over the *dense* and *sparse* layer groups
-    separately (different shapes), indexed by position within the group;
+  * per-layer arrays are TUPLES of [B, ...] leaves (one per layer in the
+    dense / sparse group), NOT stacked — a stacked array forces XLA to
+    materialize a full-layer temp for every `arr[i]` read inside the decode
+    loop, which blew HBM at 96K context;
+  * SimHash codes are [B, Hkv, L, S] (tables-minor) so the int16 last dim is
+    the lane-aligned sequence, not L=150 (which would pad to 256 — 1.7x);
   * keys in sparse layers are stored centered by `avg_k` (reference
     `attnserver.py:144-145,275`) — hot and offload alike, so the dense and
     sampled partials share a consistent score shift that cancels in the
@@ -26,35 +30,46 @@ import jax.numpy as jnp
 
 from magicpig_tpu.config import LSHConfig, ModelConfig
 
+ArrayTuple = tuple[jax.Array, ...]
+
 
 @flax.struct.dataclass
 class DecodeState:
     """All attention-server state for one engine instance."""
 
-    # Dense (full-attention) layers: [Nd, B, Hkv, max_len, d]
-    dense_k: jax.Array
-    dense_v: jax.Array
+    # Dense (full-attention) layers: per-layer [B, Hkv, max_len, d]
+    dense_k: ArrayTuple
+    dense_v: ArrayTuple
     dense_len: jax.Array      # [B] i32 — valid tokens per request
 
     # Sparse layers — hot region (sink+local+generated), centered keys:
-    hot_k: jax.Array          # [Ns, B, Hkv, hot_cap, d]
-    hot_v: jax.Array
+    hot_k: ArrayTuple         # per-layer [B, Hkv, hot_cap, d]
+    hot_v: ArrayTuple
     hot_len: jax.Array        # [B] i32
 
     # Sparse layers — offloaded middle (LSH-sampled), centered keys:
-    off_k: jax.Array          # [Ns, B, Hkv, off_cap, d]
-    off_v: jax.Array
-    k_norm: jax.Array         # [Ns, B, Hkv, off_cap] f32 (centered-key norms)
-    avg_k: jax.Array          # [Ns, B, Hkv, d] f32 (per-head mean offload key)
-    k_codes: jax.Array        # [Ns, B, Hkv, off_cap, L] i16 SimHash codes
+    off_k: ArrayTuple         # per-layer [B, Hkv, off_cap, d]
+    off_v: ArrayTuple
+    k_norm: ArrayTuple        # per-layer [B, Hkv, off_cap] f32
+    avg_k: ArrayTuple         # per-layer [B, Hkv, d] f32
+    k_codes: ArrayTuple       # per-layer [B, Hkv, L, off_cap] i16
     off_len: jax.Array        # [B] i32
 
     pos: jax.Array            # [B] i32 — next absolute position
 
 
+def tuple_set(t: ArrayTuple, i: int, value: jax.Array) -> ArrayTuple:
+    return t[:i] + (value,) + t[i + 1:]
+
+
 def hot_capacity(lsh: LSHConfig) -> int:
     cap = lsh.num_sink_tokens + lsh.num_local_tokens + lsh.generation_buffer
     return ((cap + 127) // 128) * 128  # lane-aligned
+
+
+def offload_capacity(lsh: LSHConfig, max_length: int) -> int:
+    cap = max(0, max_length - lsh.num_sink_tokens - lsh.num_local_tokens)
+    return ((cap + 127) // 128) * 128
 
 
 def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
@@ -66,20 +81,24 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
     hkv = config.num_key_value_heads
     d = config.head_dim
     dt = config.dtype
-    off_cap = max(0, max_length - lsh.num_sink_tokens - lsh.num_local_tokens)
+    off_cap = offload_capacity(lsh, max_length)
     L = max(lsh.L, 1)
+
+    def per_layer(n, shape, dtype):
+        return tuple(jnp.zeros(shape, dtype) for _ in range(n))
+
     return DecodeState(
-        dense_k=jnp.zeros((nd, b, hkv, max_length, d), dt),
-        dense_v=jnp.zeros((nd, b, hkv, max_length, d), dt),
+        dense_k=per_layer(nd, (b, hkv, max_length, d), dt),
+        dense_v=per_layer(nd, (b, hkv, max_length, d), dt),
         dense_len=jnp.zeros((b,), jnp.int32),
-        hot_k=jnp.zeros((ns, b, hkv, hot_capacity(lsh), d), dt),
-        hot_v=jnp.zeros((ns, b, hkv, hot_capacity(lsh), d), dt),
+        hot_k=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
+        hot_v=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
         hot_len=jnp.zeros((b,), jnp.int32),
-        off_k=jnp.zeros((ns, b, hkv, off_cap, d), dt),
-        off_v=jnp.zeros((ns, b, hkv, off_cap, d), dt),
-        k_norm=jnp.zeros((ns, b, hkv, off_cap), jnp.float32),
-        avg_k=jnp.zeros((ns, b, hkv, d), jnp.float32),
-        k_codes=jnp.zeros((ns, b, hkv, off_cap, L), jnp.int16),
+        off_k=per_layer(ns, (b, hkv, off_cap, d), dt),
+        off_v=per_layer(ns, (b, hkv, off_cap, d), dt),
+        k_norm=per_layer(ns, (b, hkv, off_cap), jnp.float32),
+        avg_k=per_layer(ns, (b, hkv, d), jnp.float32),
+        k_codes=per_layer(ns, (b, hkv, L, off_cap), jnp.int16),
         off_len=jnp.zeros((b,), jnp.int32),
         pos=jnp.zeros((b,), jnp.int32),
     )

@@ -91,7 +91,8 @@ def _lsh_setup(seed=2, B=1, Hq=8, Hkv=2, S=96, d=32, K=4, L=24):
 
 def test_collision_mask_matches_torch_style_oracle():
     q, k, v, kn, qc, kc, K, L = _lsh_setup()
-    got = np.asarray(collision_mask(jnp.asarray(qc), jnp.asarray(kc)))
+    got = np.asarray(collision_mask(jnp.asarray(qc),
+        jnp.asarray(kc.transpose(0, 1, 3, 2))))
     B, Hq, _ = qc.shape
     Hkv, S = kc.shape[1], kc.shape[2]
     g = Hq // Hkv
@@ -110,7 +111,8 @@ def test_lsh_masked_decode_matches_numpy_oracle():
     Hkv, S = k.shape[1], k.shape[2]
     g = Hq // Hkv
     length = np.array([S], np.int32)
-    mask = np.asarray(collision_mask(jnp.asarray(qc), jnp.asarray(kc)))
+    mask = np.asarray(collision_mask(jnp.asarray(qc),
+        jnp.asarray(kc.transpose(0, 1, 3, 2))))
     out, lse = lsh_masked_decode(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kn),
         jnp.asarray(mask), jnp.asarray(length), K, L)
@@ -137,7 +139,7 @@ def test_sampled_decode_equals_masked_when_budget_covers():
     q, k, v, kn, qc, kc, K, L = _lsh_setup()
     S = k.shape[2]
     length = jnp.asarray([S], jnp.int32)
-    mask = collision_mask(jnp.asarray(qc), jnp.asarray(kc))
+    mask = collision_mask(jnp.asarray(qc), jnp.asarray(kc.transpose(0, 1, 3, 2)))
     mask = mask & (jnp.arange(S)[None, None, :] < length[:, None, None])
     ref_out, ref_lse = lsh_masked_decode(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kn),
@@ -160,7 +162,8 @@ def test_empty_mask_head_yields_zero_output_and_neginf_lse():
 
     q, k, v, kn, qc, kc, K, L = _lsh_setup()
     S = k.shape[2]
-    mask = np.array(collision_mask(jnp.asarray(qc), jnp.asarray(kc)))
+    mask = np.array(collision_mask(jnp.asarray(qc),
+        jnp.asarray(kc.transpose(0, 1, 3, 2))))
     mask[:, 0, :] = False
     out, lse = lsh_masked_decode(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(kn),
@@ -214,7 +217,8 @@ def test_masked_plus_dense_merge_approximates_full_attention():
         bits = (x @ proj) > 0
         return (bits.reshape(*x.shape[:-1], L, K) * weights).sum(-1).astype(np.int32)
 
-    mask = collision_mask(jnp.asarray(codes(q)), jnp.asarray(codes(k_off_c)))
+    mask = collision_mask(jnp.asarray(codes(q)),
+        jnp.asarray(codes(k_off_c).transpose(0, 1, 3, 2)))
     length = jnp.asarray([S_off], jnp.int32)
     o_s, l_s = lsh_masked_decode(
         jnp.asarray(q), jnp.asarray(k_off_c), jnp.asarray(v_off),
