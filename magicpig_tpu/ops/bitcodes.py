@@ -1,0 +1,144 @@
+"""Bit-plane packed SimHash signatures and the >=2-of-L collision scan.
+
+The reference stores one int16 bucket code per (key, table)
+(`models/attnserver.py:162-167`) and the TP-masked variant counts code
+equality per table (`evaluations/RULER/pred/attnserver_dist.py:822`). On TPU
+the same math is cheaper as **bit-planes**: keep each of the K sign bits of
+every table as a packed 32-key int32 word. For a decode query:
+
+    match_word(l) = AND_k ( planes[l,k] XOR (q_bit[l,k] - 1) )
+
+(`q_bit - 1` is 0 for a 1-bit and 0xFFFFFFFF for a 0-bit, so the XOR yields
+"key bit == query bit" per lane), and the >=2-of-L rule is two bitwise
+accumulators over tables:
+
+    twice |= once & match;  once |= match
+
+Equivalent to the reference's 0->1->2 mask walk (`library/lsh/lsh.cc:272-283`)
+but 32 keys per op and K*L bits (188 B) instead of 16*L bits (300 B) per key
+of HBM traffic.
+
+Layout: planes [..., L, K, W] int32, W = S/32, token t lives in word t//32
+bit t%32 (t is the position inside the offload region).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+WORD = 32
+
+
+def num_words(seq_len: int) -> int:
+    assert seq_len % WORD == 0, "offload capacity must be 32-aligned"
+    return seq_len // WORD
+
+
+def pack_bitplanes(bits: jax.Array) -> jax.Array:
+    """Pack sign bits into key-minor int32 planes.
+
+    bits: [..., S, L, K] (bool or 0/1 int), S % 32 == 0.
+    Returns [..., L, K, S//32] int32: word w bit j = bits[..., w*32+j, l, k].
+    """
+    *lead, s, L, K = bits.shape
+    w = num_words(s)
+    b = bits.astype(jnp.int32).reshape(*lead, w, WORD, L, K)
+    shifts = jnp.arange(WORD, dtype=jnp.int32)
+    shape = (1,) * len(lead) + (1, WORD, 1, 1)
+    words = jnp.sum(b << shifts.reshape(shape), axis=-3)  # [..., w, L, K]
+    return jnp.moveaxis(words, -3, -1)                    # [..., L, K, w]
+
+
+def hash_bits(x: jax.Array, projections: jax.Array, K: int) -> jax.Array:
+    """Sign bits of the SimHash projection: [..., D] -> [..., L, K] int32.
+
+    Same projection bank as `ops.hashing.hash_codes`
+    (reference `models/attnserver.py:55,159-168`); sign is scale-invariant so
+    inputs need not be normalized.
+    """
+    proj = jnp.einsum("...d,dh->...h", x.astype(jnp.float32),
+                      projections.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    bits = (proj > 0).astype(jnp.int32)
+    return bits.reshape(*bits.shape[:-1], -1, K)
+
+
+def collision_words(q_bits: jax.Array, planes: jax.Array) -> jax.Array:
+    """>=2-of-L collision mask, packed: 32 keys per int32 word.
+
+    q_bits: [B, Hq, L, K] 0/1; planes: [B, Hkv, L, K, W] int32.
+    Returns [B, Hq, W] int32 — bit j of word w set iff key w*32+j collides
+    with the query in >= 2 tables.
+    """
+    b, hq, L, K = q_bits.shape
+    hkv, W = planes.shape[1], planes.shape[-1]
+    g = hq // hkv
+    qsel = (q_bits - 1).reshape(b, hkv, g, L, K, 1)       # 0 or -1 per bit
+    m = planes[:, :, None] ^ qsel                          # [B,Hkv,G,L,K,W]
+    m = jax.lax.reduce(m, jnp.int32(-1), jax.lax.bitwise_and, (4,))
+
+    once = jnp.zeros((b, hkv, g, W), jnp.int32)
+    twice = jnp.zeros((b, hkv, g, W), jnp.int32)
+
+    def body(l, carry):
+        once, twice = carry
+        ml = jax.lax.dynamic_index_in_dim(m, l, 3, keepdims=False)
+        return (once | ml, twice | (once & ml))
+
+    once, twice = jax.lax.fori_loop(0, L, body, (once, twice))
+    return twice.reshape(b, hq, W)
+
+
+def unpack_words(words: jax.Array, seq_len: int) -> jax.Array:
+    """[..., W] int32 -> bool [..., W*32] (trailing bits beyond seq_len kept;
+    caller masks by length)."""
+    shifts = jnp.arange(WORD, dtype=jnp.int32)
+    bits = (words[..., None] >> shifts) & 1
+    return bits.reshape(*words.shape[:-1], -1).astype(bool)[..., :seq_len]
+
+
+def valid_words(lengths: jax.Array, w: int) -> jax.Array:
+    """Packed validity mask for per-request lengths: [B] -> [B, W] int32 with
+    the first `length` bits set."""
+    word_idx = jnp.arange(w, dtype=jnp.int32)[None]        # [1, W]
+    base = word_idx * WORD
+    full = (base + WORD <= lengths[:, None]).astype(jnp.int32) * jnp.int32(-1)
+    partial_bits = jnp.clip(lengths[:, None] - base, 0, WORD)
+    # (1 << partial) - 1 without overflow at partial == 32: full mask wins.
+    partial = jnp.where(partial_bits >= WORD, jnp.int32(-1),
+                        (jnp.int32(1) << partial_bits) - 1)
+    return jnp.where(base + WORD <= lengths[:, None], full, partial)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "seq_len", "chunk"))
+def build_planes(keys: jax.Array, projections: jax.Array, K: int,
+                 *, seq_len: int | None = None, chunk: int = 8192):
+    """Hash + pack a whole key sequence into planes, chunked over tokens so
+    the [S, L*K] bit temp never materializes (prefill-time table build,
+    reference `build_table` `models/attnserver.py:178-193`).
+
+    keys: [S, H, D] (centered); returns [H, L, K, S//32] int32.
+    """
+    s, h, d = keys.shape
+    if seq_len is None:
+        seq_len = s
+    lk = projections.shape[-1]
+    K = int(K)
+    L = lk // K
+    chunk = min(chunk, s)
+    assert s % chunk == 0 and chunk % WORD == 0
+    n_chunks = s // chunk
+
+    def one(carry, kc):  # kc: [chunk, H, D]
+        bits = hash_bits(kc, projections, K)               # [chunk, H, L, K]
+        words = pack_bitplanes(bits.transpose(1, 0, 2, 3))  # [H, L, K, chunk/32]
+        return carry, words
+
+    _, planes = jax.lax.scan(one, None,
+                             keys.reshape(n_chunks, chunk, h, d))
+    # planes: [n_chunks, H, L, K, chunk/32] -> [H, L, K, W]
+    planes = jnp.moveaxis(planes, 0, -2)
+    return planes.reshape(h, L, K, num_words(s))

@@ -1,0 +1,92 @@
+"""Bit-plane packed collision scan vs the int16-code oracle.
+
+The packed path must reproduce `ops.attention.collision_mask` (which itself
+matches the reference's `(q_hashcode == k_hashcode).sum(-1) >= 2`,
+`evaluations/RULER/pred/cache_ref.py:133`) bit-for-bit.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicpig_tpu.ops.attention import collision_mask
+from magicpig_tpu.ops.bitcodes import (
+    build_planes,
+    collision_words,
+    hash_bits,
+    pack_bitplanes,
+    unpack_words,
+    valid_words,
+)
+from magicpig_tpu.ops.hashing import hash_codes, make_hash_projections, pack_bits
+
+
+@pytest.mark.parametrize("K,L,S", [(4, 8, 64), (10, 150, 512), (8, 50, 256)])
+def test_collision_words_match_int16_oracle(K, L, S):
+    key = jax.random.key(0)
+    B, HKV, G, D = 2, 2, 4, 32
+    HQ = HKV * G
+    kk, kq, kp = jax.random.split(key, 3)
+    keys = jax.random.normal(kk, (B, HKV, S, D))
+    qs = jax.random.normal(kq, (B, HQ, D))
+    proj = make_hash_projections(kp, D, K, L)
+
+    # Oracle: int16 codes + compare
+    k_codes = hash_codes(keys, proj, K).astype(jnp.int16)       # [B,HKV,S,L]
+    oracle = collision_mask(hash_codes(qs, proj, K),
+                            k_codes.transpose(0, 1, 3, 2))       # [B,HQ,S]
+
+    # Packed path
+    k_bits = hash_bits(keys, proj, K)                            # [B,HKV,S,L,K]
+    planes = pack_bitplanes(k_bits)                              # [B,HKV,L,K,W]
+    q_bits = hash_bits(qs, proj, K)                              # [B,HQ,L,K]
+    words = collision_words(q_bits, planes)                      # [B,HQ,W]
+    got = unpack_words(words, S)
+
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(oracle))
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (3, 96, 5, 4))                     # [.., S, L, K]
+    planes = pack_bitplanes(jnp.asarray(bits))
+    assert planes.shape == (3, 5, 4, 3)
+    # Unpack one plane back: word w bit j == bits[.., w*32+j, l, k]
+    for l in range(5):
+        for k in range(4):
+            w = np.asarray(planes)[..., l, k, :]
+            got = (w[..., :, None] >> np.arange(32)) & 1
+            got = got.reshape(3, 96)
+            np.testing.assert_array_equal(got, bits[..., l, k].reshape(3, 96))
+
+
+def test_hash_bits_consistent_with_codes():
+    key = jax.random.key(1)
+    K, L, D = 6, 10, 16
+    proj = make_hash_projections(key, D, K, L)
+    x = jax.random.normal(jax.random.key(2), (7, D))
+    bits = hash_bits(x, proj, K)                                 # [7, L, K]
+    codes = hash_codes(x, proj, K)                               # [7, L]
+    np.testing.assert_array_equal(np.asarray(pack_bits(bits, K)),
+                                  np.asarray(codes))
+
+
+def test_build_planes_chunked_equals_direct():
+    key = jax.random.key(3)
+    S, H, D, K, L = 256, 2, 16, 5, 6
+    keys = jax.random.normal(key, (S, H, D))
+    proj = make_hash_projections(jax.random.key(4), D, K, L)
+    direct = pack_bitplanes(hash_bits(keys, proj, K).transpose(1, 0, 2, 3))
+    chunked = build_planes(keys, proj, K, chunk=64)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(direct))
+
+
+def test_valid_words():
+    lens = jnp.asarray([0, 1, 31, 32, 33, 64, 70])
+    vw = np.asarray(valid_words(lens, 3))
+    for i, ln in enumerate([0, 1, 31, 32, 33, 64, 70]):
+        bits = (vw[i][:, None] >> np.arange(32)) & 1
+        bits = bits.reshape(-1)
+        expect = (np.arange(96) < ln).astype(bits.dtype)
+        np.testing.assert_array_equal(bits, expect)
