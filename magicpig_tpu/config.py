@@ -206,13 +206,24 @@ def default_dense_layers(num_layers: int) -> tuple[int, ...]:
     return tuple(l for l in (0, 16, 32, 48, 64) if l < num_layers)
 
 
+ESTIMATORS = ("lsh", "quest", "topk", "oracle_sampling", "block_topk")
+
+
 @dataclasses.dataclass(frozen=True)
 class LSHConfig:
-    """LSH sampling parameters (reference `models/attnserver.py:9-20`).
+    """Sparse-attention estimator parameters.
 
-    K: bits per hash table; L: number of tables. K=0 disables sampling
-    (full attention everywhere), matching the reference's `K=0 → AttnServer`
-    selection (`models/llama.py:91-96`).
+    LSH knobs mirror the reference (`models/attnserver.py:9-20`): K bits per
+    hash table, L tables. K=0 disables sampling entirely (full attention
+    everywhere), matching the reference's `K=0 → AttnServer` selection
+    (`models/llama.py:91-96`); K<0 selects the Quest baseline like the
+    reference's TP runtime (`evaluations/RULER/pred/llama_dist.py:122-133`).
+
+    `estimator` picks the sparse-layer algorithm:
+      * "lsh"             — SimHash >=2-of-L sampling + debias (the system)
+      * "quest"           — page-landmark top-k (reference `quest_cache.py`)
+      * "topk"            — oracle exact top-k (reference `topk_cache.py`)
+      * "oracle_sampling" — softmax sampling bound (`oraclesampling_cache.py`)
     """
 
     K: int = 10
@@ -232,17 +243,38 @@ class LSHConfig:
     # "masked" computes dense QK with -inf masking (the accuracy oracle,
     # mathematically identical whenever the budget covers every collision).
     decode_mode: str = "sampled"
+    # Sparse-layer estimator (see class docstring).
+    estimator: str = "lsh"
+    # Quest: page size and page budget as a fraction of the offload length
+    # (reference QuestAttnServer: 16-token chunks, 4% budget,
+    # `attnserver_dist.py:29-224`).
+    quest_page_size: int = 16
+    quest_budget_frac: float = 0.04
+    # TopK oracle / OracleSampling token budgets (fraction of offload).
+    topk_budget_frac: float = 0.02
+    os_budget_frac: float = 0.02
+    # block_topk (TPU-native fast estimator): exact-score block ranking.
+    block_topk_block_size: int = 128
+    block_topk_budget_frac: float = 0.08
+
+    def __post_init__(self):
+        assert self.estimator in ESTIMATORS, self.estimator
 
     @property
     def enabled(self) -> bool:
-        return self.K > 0
+        """Sparse layers active? (K=0 = full attention everywhere.)"""
+        return self.K != 0
 
     def dense_layers_for(self, num_layers: int) -> tuple[int, ...]:
         if not self.enabled:
             return tuple(range(num_layers))
         if self.dense_layers is not None:
             return tuple(l for l in self.dense_layers if l < num_layers)
-        return default_dense_layers(num_layers)
+        if self.estimator in ("lsh", "block_topk"):
+            return default_dense_layers(num_layers)
+        # The reference baselines keep layers {0, 1} dense
+        # (`quest_cache.py:128`, `topk_cache.py`, `oraclesampling_cache.py`).
+        return tuple(l for l in (0, 1) if l < num_layers)
 
     def sample_budget(self, offload_len: int) -> int:
         """Static padded budget of sampled tokens per (head, step)."""

@@ -106,7 +106,12 @@ def oracle_sampling_decode(key: jax.Array, q: jnp.ndarray, k: jnp.ndarray,
                            v: jnp.ndarray, length: jnp.ndarray,
                            n_samples: int):
     """Sample n tokens ~ exact softmax (with replacement), average values
-    (oraclesampling_cache.py:149-162). Returns out [B,Hq,d] f32."""
+    (oraclesampling_cache.py:149-162).
+
+    Returns (out [B,Hq,d] f32, lse [B,Hq] f32): the value-average estimates
+    the softmax-weighted mean over this region, and the exact LSE (computable
+    since the oracle scores everything) weights it in the partial merge.
+    """
     b, hq, d = q.shape
     hkv, s = k.shape[1], k.shape[2]
     qh = _gqa_reshape(q, hkv)
@@ -126,4 +131,68 @@ def oracle_sampling_decode(key: jax.Array, q: jnp.ndarray, k: jnp.ndarray,
     gathered = jax.vmap(jax.vmap(gather_one, in_axes=(0, 1)),
                         in_axes=(0, 1))(v, idx)  # [B,Hkv,n,G,d]
     out = gathered.astype(jnp.float32).mean(axis=2)           # [B,Hkv,G,d]
-    return out.reshape(b, hq, d)
+    m = jnp.max(scores, axis=-1)
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+    l = jnp.sum(jnp.exp(scores - m_safe[..., None]), axis=-1)
+    lse = jnp.where(jnp.isneginf(m), _NEG_INF,
+                    m_safe + jnp.log(_safe_denom(l)))
+    return out.reshape(b, hq, d), lse.reshape(b, hq)
+
+
+def block_topk_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      length: jnp.ndarray, block_size: int,
+                      budget_blocks: int):
+    """Streaming exact-score block-top-k — the TPU-native fast estimator.
+
+    Rationale: the reference's LSH machinery exists because its CPU cannot
+    afford exact q.k over the cache (`README.md:37-45`); on TPU the MXU makes
+    exact scoring free once K is streamed, and streaming K is half the cost
+    of full attention (V is only needed for selected tokens). This op scores
+    every key exactly, ranks `block_size`-token blocks by their max score
+    over the GQA group, and attends over the top `budget_blocks` blocks —
+    the same shape as the reference's Quest baseline (`quest_cache.py:
+    129-147`) but with exact block scores instead of min/max landmark bounds
+    (strictly better recall at equal budget), and exact softmax over the
+    selected tokens.
+
+    q: [B,Hq,d]; k/v: [B,Hkv,S,d]; S % block_size == 0.
+    Returns (out [B,Hq,d] f32, lse [B,Hq] f32) over the selected tokens.
+    """
+    b, hq, d = q.shape
+    hkv, s = k.shape[1], k.shape[2]
+    g = hq // hkv
+    nb = s // block_size
+    budget_blocks = min(budget_blocks, nb)
+    qh = _gqa_reshape(q, hkv)
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    scores = jnp.einsum("bhgd,bhsd->bhgs", qh, k,
+                        preferred_element_type=jnp.float32) * scale
+    valid = (jnp.arange(s)[None, :] < length[:, None])[:, None, None]
+    scores = jnp.where(valid, scores, _NEG_INF)
+
+    # Block ranking: max over the GQA group and the block's tokens, so all G
+    # query heads share one gather per kv head.
+    blk_score = scores.reshape(b, hkv, g, nb, block_size).max(axis=(2, 4))
+    _, blk_ids = jax.lax.top_k(blk_score, budget_blocks)     # [B,Hkv,nb']
+
+    def take_blocks(x, ids):  # x [nb, ...]; ids [nb']
+        return x[ids]
+
+    sblk = scores.reshape(b, hkv, g, nb, block_size).transpose(0, 1, 3, 2, 4)
+    s_sel = jax.vmap(jax.vmap(take_blocks))(sblk, blk_ids)   # [B,Hkv,nb',G,bs]
+    s_sel = s_sel.transpose(0, 1, 3, 2, 4).reshape(
+        b, hkv, g, budget_blocks * block_size)
+    v_sel = jax.vmap(jax.vmap(take_blocks))(
+        v.reshape(b, hkv, nb, block_size, d), blk_ids)       # [B,Hkv,nb',bs,d]
+    v_sel = v_sel.reshape(b, hkv, budget_blocks * block_size, d)
+
+    m = jnp.max(s_sel, axis=-1)
+    m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+    p = jnp.exp(s_sel - m_safe[..., None])
+    l = jnp.sum(p, axis=-1)
+    out = jnp.einsum("bhgs,bhsd->bhgd", p.astype(v_sel.dtype), v_sel,
+                     preferred_element_type=jnp.float32)
+    out = out / _safe_denom(l)[..., None]
+    lse = jnp.where(jnp.isneginf(m), _NEG_INF,
+                    m_safe + jnp.log(_safe_denom(l)))
+    return out.reshape(b, hq, d), lse.reshape(b, hq)

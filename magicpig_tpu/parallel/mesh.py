@@ -65,11 +65,14 @@ def state_pspecs(state: DecodeState) -> DecodeState:
         hot_k=per(state.hot_k, kv), hot_v=per(state.hot_v, kv),
         hot_len=P("data"),
         off_k=per(state.off_k, kv), off_v=per(state.off_v, kv),
+        off_len=P("data"),
         k_norm=per(state.k_norm, P("data", "model", None)),
         avg_k=per(state.avg_k, P("data", "model", None)),
-        k_codes=per(state.k_codes, P("data", "model", None, None)),
-        off_len=P("data"),
+        planes=per(state.planes, P("data", "model", None, None, None)),
+        quest_min=per(state.quest_min, kv),
+        quest_max=per(state.quest_max, kv),
         pos=P("data"),
+        step=P(),
     )
 
 

@@ -56,8 +56,14 @@ class LLM:
                  params: LlamaParams | None = None, seed: int = 0,
                  lsh: LSHConfig | None = None):
         self.config = preset(model) if isinstance(model, str) else model
-        self.lsh = lsh if lsh is not None else LSHConfig(
-            K=K, L=L, generation_buffer=generation_buffer)
+        if lsh is None:
+            # Reference server selection by K sign: K>0 → LSH sampling,
+            # K==0 → full attention, K<0 → Quest baseline
+            # (`evaluations/RULER/pred/llama_dist.py:122-133`).
+            estimator = "quest" if K < 0 else "lsh"
+            lsh = LSHConfig(K=abs(K), L=L, estimator=estimator,
+                            generation_buffer=generation_buffer)
+        self.lsh = lsh
         self.batch_size = batch_size
         self.max_length = max_length
         self.chunk_size = chunk_size
@@ -154,6 +160,7 @@ class LLM:
             pos=state.pos + 1,
             dense_len=state.dense_len + 1,
             hot_len=state.hot_len + 1,
+            step=state.step + 1,
         )
         return state, logits, frac_sum / max(n_sparse, 1)
 
@@ -218,8 +225,10 @@ class LLM:
 
     @property
     def avg_sparsity(self) -> float:
-        """Mean sampled fraction over decode steps (reference "Avg Sparsity",
-        `evaluations/RULER/pred/xllm_gen.py:184-190`)."""
+        """Mean sampled fraction over ALL decode steps since engine creation
+        (reference "Avg Sparsity", `evaluations/RULER/pred/xllm_gen.py:
+        184-190`; lifetime-cumulative so eval drivers can read it after
+        `generate()`'s implicit `clear()`)."""
         return self._sparsity_sum / max(self._sparsity_steps, 1)
 
     def generate(self, input_ids, max_tokens: int = 128,
@@ -252,8 +261,7 @@ class LLM:
         return generated
 
     def clear(self):
-        """Reset all server state (reference `clear`, `attnserver.py:314`)."""
+        """Reset all server state (reference `clear`, `attnserver.py:314`).
+        The sparsity counters survive (lifetime metric, see avg_sparsity)."""
         self.state = state_lib.init_state(
             self.config, self.lsh, self.batch_size, self.max_length)
-        self._sparsity_sum = 0.0
-        self._sparsity_steps = 0

@@ -5,27 +5,46 @@ server protocol `alloc_buffer / fill / build_table / plan / decode / clear`
 (`models/attnserver.py:108-331`):
   * alloc/clear  -> `state.init_state` (static shapes, nothing to plan)
   * fill         -> `fill_dense_layer` / `fill_sparse_layer`
-  * build_table  -> SimHash codes are stored directly; bucket tables for the
-                    fast retrieval path are built by `ops.tables` (the
-                    masked/sampled paths need only codes)
+  * build_table  -> bit-plane signature build (`ops.bitcodes.build_planes`),
+                    folded into fill (the fast path scans planes; no separate
+                    bucket CSR needed)
   * plan         -> folded away (XLA static shapes replace FlashInfer plans)
   * decode       -> `decode_dense_layer` / `decode_sparse_layer`
+
+`decode_sparse_layer` dispatches on the configured estimator, mirroring the
+reference's server selection by K sign / Q flag (`llama_dist.py:122-133`,
+`model_wrappers.py:25-32`): "lsh" (the system), "quest", "topk",
+"oracle_sampling".
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
 
 from magicpig_tpu.config import LSHConfig
 from magicpig_tpu.ops.attention import (
-    collision_mask,
     full_decode,
     lsh_masked_decode,
     lsh_sampled_decode,
     mask_to_budget_ids,
 )
-from magicpig_tpu.ops.hashing import hash_codes
+from magicpig_tpu.ops.baselines import (
+    block_topk_decode,
+    oracle_sampling_decode,
+    quest_decode,
+    quest_landmarks,
+    topk_decode,
+)
+from magicpig_tpu.ops.bitcodes import (
+    build_planes,
+    collision_words,
+    hash_bits,
+    unpack_words,
+    valid_words,
+)
 from magicpig_tpu.ops.merge import merge_partials
 from magicpig_tpu.runtime.state import DecodeState, tuple_set
 
@@ -52,71 +71,102 @@ def fill_dense_layer(state: DecodeState, di: int, req: jax.Array,
     )
 
 
-def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
-                      k_full: jax.Array, v_full: jax.Array,
-                      true_len: jax.Array, projections: jax.Array,
-                      lsh: LSHConfig) -> DecodeState:
-    """Partition prefill K/V into sink/local (hot) + offload (sampled).
+def _split_offload(state, si, k_full, v_full, true_len, lsh):
+    """Common sink/local/offload partition (reference `attnserver.py:126-148`).
 
-    Reference `attnserver.py:126-175`: center keys by the mean offload key,
-    store centered-key norms, and SimHash-code every offload key. All writes
-    here are static-shaped; validity is carried by `off_len`.
+    Returns (off_k [off_cap,Hkv,d], off_v, off_len, hot_k [sink+local,Hkv,d],
+    hot_v) — all un-centered; LSH centering happens in the caller.
     """
     p_pad, hkv, d = k_full.shape
     sink, local = lsh.num_sink_tokens, lsh.num_local_tokens
     off_cap = state.off_k[si].shape[2]
     off_len = true_len - sink - local
 
-    # Offload slice: everything from `sink` onward, padded to off_cap.
-    # Tokens at positions >= true_len - local are masked out via off_len
-    # (they live in the hot buffer instead).
     take = min(off_cap, p_pad - sink)
     off_k = jnp.zeros((off_cap, hkv, d), k_full.dtype)
-    off_k = jax.lax.dynamic_update_slice(off_k, k_full[sink:sink + take], (0, 0, 0))
+    off_k = jax.lax.dynamic_update_slice(off_k, k_full[sink:sink + take],
+                                         (0, 0, 0))
     off_v = jnp.zeros((off_cap, hkv, d), v_full.dtype)
-    off_v = jax.lax.dynamic_update_slice(off_v, v_full[sink:sink + take], (0, 0, 0))
+    off_v = jax.lax.dynamic_update_slice(off_v, v_full[sink:sink + take],
+                                         (0, 0, 0))
 
-    valid = (jnp.arange(off_cap) < off_len)[:, None, None]  # [off_cap,1,1]
-    off_k_f = off_k.astype(jnp.float32) * valid
-    avg = off_k_f.sum(0) / jnp.maximum(off_len, 1)          # [Hkv, d] f32
-    centered = (off_k_f - avg[None]) * valid                # zeros beyond len
-    k_norm = jnp.linalg.norm(centered, axis=-1)             # [off_cap, Hkv]
-    codes = hash_codes(centered, projections, lsh.K).astype(jnp.int16)
-    codes = codes.transpose(1, 2, 0)                        # [Hkv, L, off_cap]
-
-    # Hot region: sink + local, centered by the same avg (attnserver.py:144).
     local_k = jax.lax.dynamic_slice(k_full, (true_len - local, 0, 0),
                                     (local, hkv, d))
     local_v = jax.lax.dynamic_slice(v_full, (true_len - local, 0, 0),
                                     (local, hkv, d))
-    hot_k = jnp.concatenate([k_full[:sink], local_k], axis=0).astype(jnp.float32)
-    hot_k = (hot_k - avg[None]).astype(k_full.dtype)        # [sink+local,Hkv,d]
+    hot_k = jnp.concatenate([k_full[:sink], local_k], axis=0)
     hot_v = jnp.concatenate([v_full[:sink], local_v], axis=0)
+    return off_k, off_v, off_len, hot_k, hot_v
 
-    def pad_to(buf_leaf, val):  # val [cap', Hkv, ...] seq-major -> buf layout
-        val = jnp.moveaxis(val, 1, 0)  # [Hkv, cap', ...]
-        full = jnp.zeros(buf_leaf.shape[1:], val.dtype)
-        return jax.lax.dynamic_update_slice(full, val,
-                                            (0,) * full.ndim)
+
+def _pad_to(buf_leaf, val):
+    """val [cap', Hkv, ...] seq-major -> zero-padded head-major buf layout."""
+    val = jnp.moveaxis(val, 1, 0)  # [Hkv, cap', ...]
+    full = jnp.zeros(buf_leaf.shape[1:], val.dtype)
+    return jax.lax.dynamic_update_slice(full, val, (0,) * full.ndim)
+
+
+def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
+                      k_full: jax.Array, v_full: jax.Array,
+                      true_len: jax.Array, projections: jax.Array,
+                      lsh: LSHConfig) -> DecodeState:
+    """Partition prefill K/V into sink/local (hot) + offload, then build the
+    estimator's retrieval state:
+      * lsh   — center keys by the mean offload key, store centered-key
+                norms, bit-plane SimHash signatures (`attnserver.py:126-175`)
+      * quest — per-page min/max landmarks (`quest_cache.py:49-63`)
+      * topk / oracle_sampling — raw K/V only
+    """
+    hkv, d = k_full.shape[1], k_full.shape[2]
+    off_cap = state.off_k[si].shape[2]
+    off_k, off_v, off_len, hot_k, hot_v = _split_offload(
+        state, si, k_full, v_full, true_len, lsh)
 
     def wr(bufs, i, val_seq_major):
         leaf = bufs[i]
         return tuple_set(bufs, i,
-                         _write_request(leaf, pad_to(leaf, val_seq_major), req))
+                         _write_request(leaf, _pad_to(leaf, val_seq_major),
+                                        req))
+
+    if lsh.estimator == "lsh":
+        valid = (jnp.arange(off_cap) < off_len)[:, None, None]
+        off_k_f = off_k.astype(jnp.float32) * valid
+        avg = off_k_f.sum(0) / jnp.maximum(off_len, 1)      # [Hkv, d] f32
+        centered = (off_k_f - avg[None]) * valid            # zeros beyond len
+        k_norm = jnp.linalg.norm(centered, axis=-1)         # [off_cap, Hkv]
+        planes = build_planes(centered, projections, lsh.K)  # [Hkv,L,K,W]
+        hot_k = (hot_k.astype(jnp.float32) - avg[None]).astype(k_full.dtype)
+        state = state.replace(
+            k_norm=wr(state.k_norm, si, k_norm),
+            planes=tuple_set(state.planes, si,
+                             _write_request(state.planes[si], planes, req)),
+            avg_k=tuple_set(state.avg_k, si,
+                            _write_request(state.avg_k[si],
+                                           avg.astype(jnp.float32), req)),
+        )
+        off_k = centered.astype(state.off_k[si].dtype)
+    elif lsh.estimator == "quest":
+        # Landmarks over the padded buffer; invalid pages are masked at
+        # decode by off_len (their scores go to -inf in `quest_decode`).
+        kmin, kmax = quest_landmarks(
+            off_k.transpose(1, 0, 2)[None], lsh.quest_page_size)
+        state = state.replace(
+            quest_min=tuple_set(state.quest_min, si,
+                                _write_request(state.quest_min[si],
+                                               kmin[0], req)),
+            quest_max=tuple_set(state.quest_max, si,
+                                _write_request(state.quest_max[si],
+                                               kmax[0], req)),
+        )
 
     return state.replace(
-        off_k=wr(state.off_k, si, centered.astype(state.off_k[si].dtype)),
+        off_k=wr(state.off_k, si, off_k),
         off_v=wr(state.off_v, si, off_v),
-        k_norm=wr(state.k_norm, si, k_norm),
-        k_codes=tuple_set(state.k_codes, si,
-                          _write_request(state.k_codes[si], codes, req)),
-        avg_k=tuple_set(state.avg_k, si,
-                        _write_request(state.avg_k[si],
-                                       avg.astype(jnp.float32), req)),
         hot_k=wr(state.hot_k, si, hot_k),
         hot_v=wr(state.hot_v, si, hot_v),
         off_len=state.off_len.at[req].set(off_len),
-        hot_len=state.hot_len.at[req].set(sink + local),
+        hot_len=state.hot_len.at[req].set(
+            lsh.num_sink_tokens + lsh.num_local_tokens),
     )
 
 
@@ -140,20 +190,54 @@ def decode_dense_layer(state: DecodeState, di: int, q: jax.Array,
     return out, state
 
 
+def _lsh_partial(state, si, q, projections, lsh):
+    """LSH-sampled partial over the offload region; returns (out, lse, frac)."""
+    b, hq, d = q.shape
+    off_cap = state.off_k[si].shape[2]
+    w = state.planes[si].shape[-1]
+
+    q_bits = hash_bits(q, projections, lsh.K)               # [B,Hq,L,K]
+    words = collision_words(q_bits, state.planes[si])       # [B,Hq,W]
+    words = words & valid_words(state.off_len, w)[:, None]
+    sampled = jnp.sum(jax.lax.population_count(words),
+                      dtype=jnp.int32)
+    frac = sampled / jnp.maximum(state.off_len.sum() * hq, 1)
+    mask = unpack_words(words, off_cap)                     # [B,Hq,off_cap]
+
+    if lsh.decode_mode == "sampled":
+        budget = lsh.sample_budget(off_cap)
+        ids, ids_valid = mask_to_budget_ids(mask, budget)
+        out, lse = lsh_sampled_decode(
+            q, state.off_k[si], state.off_v[si], state.k_norm[si], ids,
+            ids_valid, lsh.K, lsh.L)
+    else:
+        out, lse = lsh_masked_decode(
+            q, state.off_k[si], state.off_v[si], state.k_norm[si], mask,
+            state.off_len, lsh.K, lsh.L)
+    return out, lse, frac
+
+
+def _static_budget(off_cap: int, frac: float, floor: int = 16) -> int:
+    return max(floor, min(off_cap, int(math.ceil(off_cap * frac))))
+
+
 def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
                         k_new: jax.Array, v_new: jax.Array,
                         projections: jax.Array, lsh: LSHConfig):
-    """LSH-sampled decode: hot dense partial + sampled offload partial,
-    merged by LSE (reference `attnserver.py:261-312`).
+    """Sparse-layer decode: hot dense partial + estimator partial over the
+    offload region, merged by LSE (reference `attnserver.py:261-312`).
 
     Returns (out [B,Hq,d] f32, state, sampled_frac scalar — the reference's
     "workload" observability metric, `attnserver_dist.py:525-527`).
     """
     b, hq, d = q.shape
-    avg = state.avg_k[si]                                   # [B,Hkv,d] f32
-    k_c = (k_new.astype(jnp.float32) - avg).astype(k_new.dtype)
+    off_cap = state.off_k[si].shape[2]
 
-    hot_k = _append_per_request(state.hot_k[si], k_c, state.hot_len)
+    if lsh.estimator == "lsh":
+        avg = state.avg_k[si]                               # [B,Hkv,d] f32
+        k_new = (k_new.astype(jnp.float32) - avg).astype(k_new.dtype)
+
+    hot_k = _append_per_request(state.hot_k[si], k_new, state.hot_len)
     hot_v = _append_per_request(state.hot_v[si], v_new, state.hot_len)
     state = state.replace(hot_k=tuple_set(state.hot_k, si, hot_k),
                           hot_v=tuple_set(state.hot_v, si, hot_v))
@@ -161,23 +245,38 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
     # Dense partial over sink/local/generated.
     o_hot, lse_hot = full_decode(q, hot_k, hot_v, state.hot_len + 1)
 
-    # Sampled partial over the offload region.
-    q_codes = hash_codes(q, projections, lsh.K)             # [B,Hq,L]
-    mask = collision_mask(q_codes, state.k_codes[si])
-    off_cap = state.off_k[si].shape[2]
-    valid = jnp.arange(off_cap)[None, None, :] < state.off_len[:, None, None]
-    mask = mask & valid
-    if lsh.decode_mode == "sampled":
-        budget = lsh.sample_budget(off_cap)
-        ids, ids_valid = mask_to_budget_ids(mask, budget)
-        o_smp, lse_smp = lsh_sampled_decode(
-            q, state.off_k[si], state.off_v[si], state.k_norm[si], ids,
-            ids_valid, lsh.K, lsh.L)
-    else:
-        o_smp, lse_smp = lsh_masked_decode(
-            q, state.off_k[si], state.off_v[si], state.k_norm[si], mask,
-            state.off_len, lsh.K, lsh.L)
+    # Estimator partial over the offload region.
+    if lsh.estimator == "lsh":
+        o_off, lse_off, frac = _lsh_partial(state, si, q, projections, lsh)
+    elif lsh.estimator == "quest":
+        pages = _static_budget(off_cap // lsh.quest_page_size,
+                               lsh.quest_budget_frac, floor=1)
+        o_off, lse_off = quest_decode(
+            q, state.off_k[si], state.off_v[si], state.quest_min[si],
+            state.quest_max[si], state.off_len, lsh.quest_page_size, pages)
+        frac = (pages * lsh.quest_page_size) / jnp.maximum(
+            state.off_len, 1).mean()
+    elif lsh.estimator == "topk":
+        n = _static_budget(off_cap, lsh.topk_budget_frac)
+        o_off, lse_off = topk_decode(q, state.off_k[si], state.off_v[si],
+                                     state.off_len, n)
+        frac = n / jnp.maximum(state.off_len, 1).mean()
+    elif lsh.estimator == "block_topk":
+        bs = lsh.block_topk_block_size
+        blocks = _static_budget(off_cap // bs, lsh.block_topk_budget_frac,
+                                floor=1)
+        o_off, lse_off = block_topk_decode(
+            q, state.off_k[si], state.off_v[si], state.off_len, bs, blocks)
+        frac = (blocks * bs) / jnp.maximum(state.off_len, 1).mean()
+    elif lsh.estimator == "oracle_sampling":
+        n = _static_budget(off_cap, lsh.os_budget_frac)
+        key = jax.random.fold_in(jax.random.key(677232254), state.step)
+        key = jax.random.fold_in(key, si)
+        o_off, lse_off = oracle_sampling_decode(
+            key, q, state.off_k[si], state.off_v[si], state.off_len, n)
+        frac = n / jnp.maximum(state.off_len, 1).mean()
+    else:  # pragma: no cover
+        raise ValueError(lsh.estimator)
 
-    out, _ = merge_partials([o_hot, o_smp], [lse_hot, lse_smp])
-    sampled_frac = mask.sum() / jnp.maximum(state.off_len.sum() * hq, 1)
-    return out, state, sampled_frac
+    out, _ = merge_partials([o_hot, o_off], [lse_hot, lse_off])
+    return out, state, frac

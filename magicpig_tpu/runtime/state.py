@@ -5,19 +5,21 @@ the reference keeps sink/local/generated tokens in a GPU paged cache and
 offloads the middle of the KV cache to CPU DRAM with bf16 mirrors + norms
 (`attnserver.py:94-110,136-175`). On TPU everything lives in HBM as static
 arrays; the "offload" region is simply the part of the cache that decode
-touches only through LSH sampling.
+touches only through the sparse estimator.
 
 Layout notes:
   * per-layer arrays are TUPLES of [B, ...] leaves (one per layer in the
     dense / sparse group), NOT stacked — a stacked array forces XLA to
     materialize a full-layer temp for every `arr[i]` read inside the decode
     loop, which blew HBM at 96K context;
-  * SimHash codes are [B, Hkv, L, S] (tables-minor) so the int16 last dim is
-    the lane-aligned sequence, not L=150 (which would pad to 256 — 1.7x);
-  * keys in sparse layers are stored centered by `avg_k` (reference
+  * SimHash signatures are bit-plane packed int32 words [B, Hkv, L, K, W]
+    (`ops.bitcodes`): 188 B/key instead of the reference's 16-bit codes
+    (300 B/key) — less HBM and a 32-keys-per-op collision scan;
+  * keys in LSH sparse layers are stored centered by `avg_k` (reference
     `attnserver.py:144-145,275`) — hot and offload alike, so the dense and
     sampled partials share a consistent score shift that cancels in the
-    LSE merge;
+    LSE merge. Baseline estimators (quest/topk/oracle_sampling) store raw
+    keys and skip hashing state entirely;
   * `hot` = sink + local + generation buffer (reference `self.length`,
     `attnserver.py:25`).
 """
@@ -29,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from magicpig_tpu.config import LSHConfig, ModelConfig
+from magicpig_tpu.ops.bitcodes import num_words
 
 ArrayTuple = tuple[jax.Array, ...]
 
@@ -42,20 +45,27 @@ class DecodeState:
     dense_v: ArrayTuple
     dense_len: jax.Array      # [B] i32 — valid tokens per request
 
-    # Sparse layers — hot region (sink+local+generated), centered keys:
+    # Sparse layers — hot region (sink+local+generated):
     hot_k: ArrayTuple         # per-layer [B, Hkv, hot_cap, d]
     hot_v: ArrayTuple
     hot_len: jax.Array        # [B] i32
 
-    # Sparse layers — offloaded middle (LSH-sampled), centered keys:
+    # Sparse layers — offloaded middle:
     off_k: ArrayTuple         # per-layer [B, Hkv, off_cap, d]
     off_v: ArrayTuple
-    k_norm: ArrayTuple        # per-layer [B, Hkv, off_cap] f32
-    avg_k: ArrayTuple         # per-layer [B, Hkv, d] f32
-    k_codes: ArrayTuple       # per-layer [B, Hkv, L, off_cap] i16
     off_len: jax.Array        # [B] i32
 
+    # LSH-only state (empty tuples for other estimators):
+    k_norm: ArrayTuple        # per-layer [B, Hkv, off_cap] f32 centered norms
+    avg_k: ArrayTuple         # per-layer [B, Hkv, d] f32
+    planes: ArrayTuple        # per-layer [B, Hkv, L, K, W] i32 bit-planes
+
+    # Quest-only state (empty tuples otherwise):
+    quest_min: ArrayTuple     # per-layer [B, Hkv, n_pages, d]
+    quest_max: ArrayTuple
+
     pos: jax.Array            # [B] i32 — next absolute position
+    step: jax.Array           # [] i32 — decode step counter (PRNG folding)
 
 
 def tuple_set(t: ArrayTuple, i: int, value: jax.Array) -> ArrayTuple:
@@ -83,9 +93,14 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
     dt = config.dtype
     off_cap = offload_capacity(lsh, max_length)
     L = max(lsh.L, 1)
+    K = max(lsh.K, 1)
 
     def per_layer(n, shape, dtype):
         return tuple(jnp.zeros(shape, dtype) for _ in range(n))
+
+    is_lsh = lsh.estimator == "lsh" and ns > 0
+    is_quest = lsh.estimator == "quest" and ns > 0
+    n_pages = max(off_cap // lsh.quest_page_size, 1)
 
     return DecodeState(
         dense_k=per_layer(nd, (b, hkv, max_length, d), dt),
@@ -96,11 +111,15 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
         hot_len=jnp.zeros((b,), jnp.int32),
         off_k=per_layer(ns, (b, hkv, off_cap, d), dt),
         off_v=per_layer(ns, (b, hkv, off_cap, d), dt),
-        k_norm=per_layer(ns, (b, hkv, off_cap), jnp.float32),
-        avg_k=per_layer(ns, (b, hkv, d), jnp.float32),
-        k_codes=per_layer(ns, (b, hkv, L, off_cap), jnp.int16),
         off_len=jnp.zeros((b,), jnp.int32),
+        k_norm=per_layer(ns if is_lsh else 0, (b, hkv, off_cap), jnp.float32),
+        avg_k=per_layer(ns if is_lsh else 0, (b, hkv, d), jnp.float32),
+        planes=per_layer(ns if is_lsh else 0,
+                         (b, hkv, L, K, num_words(off_cap)), jnp.int32),
+        quest_min=per_layer(ns if is_quest else 0, (b, hkv, n_pages, d), dt),
+        quest_max=per_layer(ns if is_quest else 0, (b, hkv, n_pages, d), dt),
         pos=jnp.zeros((b,), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
     )
 
 

@@ -23,7 +23,7 @@ class ByteTokenizer:
         return ([self.bos_token_id] + ids) if add_bos else ids
 
     def decode(self, ids):
-        data = bytes(i - 3 for i in ids if i >= 3)
+        data = bytes(i - 3 for i in ids if 3 <= i < 259)
         return data.decode("utf-8", errors="replace")
 
 

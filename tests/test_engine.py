@@ -165,3 +165,63 @@ def test_generate_runs_and_clears(tiny_params):
     assert 1 <= len(out) <= 5
     assert all(isinstance(t, int) for t in out)
     assert int(np.asarray(llm.state.pos)[0]) == 0  # cleared
+
+
+@pytest.mark.parametrize("estimator,kw,tol", [
+    # At budget 1.0 TopK degenerates to exact full attention over the
+    # offload region; Quest selects every page. Both must match K=0.
+    ("topk", {"topk_budget_frac": 1.0}, 2e-3),
+    ("quest", {"quest_budget_frac": 1.0, "quest_page_size": 16}, 2e-3),
+    ("block_topk", {"block_topk_budget_frac": 1.0,
+                    "block_topk_block_size": 16}, 2e-3),
+    # OracleSampling at a huge sample count converges statistically.
+    ("oracle_sampling", {"os_budget_frac": 8.0}, 0.15),
+])
+def test_baseline_estimators_track_full_attention(tiny_params, estimator,
+                                                  kw, tol):
+    """Engine-level parity: each baseline server at full budget must
+    reproduce the K=0 full-attention engine (reference cross-check pattern:
+    the baselines share the eval harness with exact attention,
+    `model_wrappers.py:25-32`)."""
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(1, TINY.vocab_size, size=120).astype(np.int32)
+
+    full = _make_llm(K=0, L=0, params=tiny_params)
+    base = _make_llm(K=10, L=0, params=tiny_params, estimator=estimator,
+                     dense_layers=(0,), **kw)
+
+    lf = np.asarray(full.prefill(prompt))
+    lb = np.asarray(base.prefill(prompt))
+    np.testing.assert_allclose(lb, lf, rtol=1e-3, atol=1e-3)
+
+    tok = int(lf[0].argmax())
+    for _ in range(3):
+        lf = np.asarray(full.inference(np.asarray([tok])))
+        lb = np.asarray(base.inference(np.asarray([tok])))
+        err = np.abs(lb - lf).max() / max(np.abs(lf).max(), 1e-6)
+        assert err < tol, f"{estimator}: decode logits diverge: {err}"
+        tok = int(lf[0].argmax())
+
+
+@pytest.mark.parametrize("estimator", ["quest", "topk", "oracle_sampling",
+                                       "block_topk"])
+def test_baseline_estimators_run_sparse(tiny_params, estimator):
+    """Sparse budgets produce finite logits and a sane workload metric."""
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(1, TINY.vocab_size, size=120).astype(np.int32)
+    llm = _make_llm(K=10, L=0, params=tiny_params, estimator=estimator,
+                    quest_budget_frac=0.25, topk_budget_frac=0.25,
+                    os_budget_frac=0.25, block_topk_block_size=16,
+                    block_topk_budget_frac=0.25)
+    llm.prefill(prompt)
+    out = np.asarray(llm.inference(np.asarray([3])))
+    assert np.isfinite(out).all()
+    assert 0 < llm.avg_sparsity <= 1.5
+
+
+def test_negative_k_selects_quest():
+    """Reference K-sign server selection (`llama_dist.py:122-133`)."""
+    llm = LLM(_fp32_tiny(), K=-10, batch_size=1, max_length=MAX_LEN,
+              chunk_size=32)
+    assert llm.lsh.estimator == "quest"
+    assert llm.lsh.K == 10
