@@ -76,18 +76,21 @@ def collision_words(q_bits: jax.Array, planes: jax.Array) -> jax.Array:
     b, hq, L, K = q_bits.shape
     hkv, W = planes.shape[1], planes.shape[-1]
     g = hq // hkv
-    qsel = (q_bits - 1).reshape(b, hkv, g, L, K, 1)       # 0 or -1 per bit
-    m = planes[:, :, None] ^ qsel                          # [B,Hkv,G,L,K,W]
-    m = jax.lax.reduce(m, jnp.int32(-1), jax.lax.bitwise_and, (4,))
+    qsel = (q_bits - 1).reshape(b, hkv, g, L, K)          # 0 or -1 per bit
+
+    # Slice per table INSIDE the loop: XLA then streams `planes` once with a
+    # small [B,Hkv,G,K,W] transient, instead of materializing the
+    # [B,Hkv,G,L,K,W] broadcast (measured 5x slower at L=150, W=3072).
+    def body(l, carry):
+        once, twice = carry
+        pl_l = jax.lax.dynamic_index_in_dim(planes, l, 2, keepdims=False)
+        qs_l = jax.lax.dynamic_index_in_dim(qsel, l, 3, keepdims=False)
+        m = pl_l[:, :, None] ^ qs_l[..., None]            # [B,Hkv,G,K,W]
+        m = jax.lax.reduce(m, jnp.int32(-1), jax.lax.bitwise_and, (3,))
+        return (once | m, twice | (once & m))
 
     once = jnp.zeros((b, hkv, g, W), jnp.int32)
     twice = jnp.zeros((b, hkv, g, W), jnp.int32)
-
-    def body(l, carry):
-        once, twice = carry
-        ml = jax.lax.dynamic_index_in_dim(m, l, 3, keepdims=False)
-        return (once | ml, twice | (once & ml))
-
     once, twice = jax.lax.fori_loop(0, L, body, (once, twice))
     return twice.reshape(b, hq, W)
 

@@ -188,3 +188,20 @@ def test_top_p_sampling_respects_nucleus():
     )
     assert set(np.unique(samples)) <= {0, 1}
     assert (samples == 0).mean() > 0.4  # roughly follows probabilities
+
+
+def test_profiling_utils():
+    import time as _time
+
+    from magicpig_tpu.utils.profiling import StepTimer, annotate, trace
+
+    with trace(None):  # no-op path
+        with annotate("region"):
+            pass
+    t = StepTimer()
+    with t:
+        _time.sleep(0.01)
+    t.step(10)
+    assert t.ms_per_token > 0
+    assert t.tokens_per_s > 0
+    assert "ms/token" in t.report()
