@@ -1,12 +1,23 @@
 #!/usr/bin/env python
-"""Headline benchmark: LSH-sampled decode throughput vs full-attention
-baseline at long context, on one TPU chip.
+"""Headline benchmark: long-context decode throughput per chip.
 
-Mirrors the reference's canonical config (`examples/bench.sh:1`:
-B=1, K=10, L=150, M=98304) scaled to a model+context that fits one chip.
-Both engines share weights and the same jitted decode loop; the baseline is
-the K=0 (full attention everywhere) configuration of the same engine, i.e.
-"full-attention Pallas/XLA" per BASELINE.md. Prints ONE JSON line.
+Mirrors the reference's canonical config (`examples/bench.sh:1`: B=1,
+P=98000, M=98304, K=10, L=150) and its headline claim structure: the
+reference reports decode throughput vs a *memory-constrained* full-attention
+baseline (`README.md:27-35` — the GPU baseline is VRAM-bound, which is the
+whole premise of offloading). The TPU equivalent: each mode runs at the
+largest batch that fits HBM at 96K context, and we report aggregate
+tokens/s/chip.
+
+Modes measured:
+  * full       — exact full attention, bf16 KV (the baseline)
+  * lsh        — SimHash K10/L150 sampled attention (reference-exact mode)
+  * block_topk — TPU-native fast mode: exact-score block-top-k over an int8
+                 offload cache (scores every key on the MXU from an int8
+                 stream; V gathered for top blocks only)
+
+Prints ONE JSON line with the flagship (block_topk) result;
+per-mode numbers go to stderr.
 """
 
 import argparse
@@ -17,63 +28,114 @@ import time
 import numpy as np
 
 
+def measure(cfg, lsh, B, M, P, G, warmup_steps=None):
+    import jax
+
+    from magicpig_tpu.runtime.engine import LLM
+    from magicpig_tpu.runtime.synthetic import synthetic_prefill
+
+    llm = LLM(cfg, batch_size=B, max_length=M, lsh=lsh, seed=0)
+    synthetic_prefill(llm, P, seed=1)
+    tok = np.zeros((B,), np.int32)
+    t = llm.decode_steps(tok, G)       # compile + warmup (same static shape)
+    _ = np.asarray(t)
+    t0 = time.perf_counter()
+    t = llm.decode_steps(tok, G)
+    _ = np.asarray(t)
+    dt = time.perf_counter() - t0
+    tps = B * G / dt
+    sparsity = llm.avg_sparsity
+    del llm
+    return tps, sparsity
+
+
+def state_bytes_per_request(cfg, lsh, M):
+    """HBM bytes of decode state per request (via eval_shape, no alloc)."""
+    import jax
+
+    from magicpig_tpu.runtime import state as state_lib
+
+    shapes = jax.eval_shape(
+        lambda: state_lib.init_state(cfg, lsh, 1, M))
+    return sum(np.prod(l.shape) * l.dtype.itemsize
+               for l in jax.tree.leaves(shapes))
+
+
+def max_batch(cfg, lsh, M, hbm_budget):
+    import jax
+
+    from magicpig_tpu.models.llama import init_params
+
+    pshapes = jax.eval_shape(
+        lambda: init_params(cfg, jax.random.key(0), M))
+    pbytes = sum(np.prod(l.shape) * l.dtype.itemsize
+                 for l in jax.tree.leaves(pshapes))
+    per_req = state_bytes_per_request(cfg, lsh, M)
+    b = int((hbm_budget - pbytes) // per_req)
+    return max(b, 1), pbytes, per_req
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--model", type=str, default="llama-3.2-1b",
-                   help="model shape preset")
-    p.add_argument("--B", type=int, default=1, help="batch size")
-    p.add_argument("--P", type=int, default=98000, help="context (prefill) length")
-    p.add_argument("--M", type=int, default=98304, help="max length")
+    p.add_argument("--model", type=str, default="llama-3.2-1b")
+    p.add_argument("--P", type=int, default=98000)
+    p.add_argument("--M", type=int, default=98304)
     p.add_argument("--G", type=int, default=32, help="timed decode steps")
-    p.add_argument("--warmup", type=int, default=4, help="warmup decode steps")
     p.add_argument("--K", type=int, default=10)
     p.add_argument("--L", type=int, default=150)
-    p.add_argument("--mode", type=str, default="sampled",
-                   choices=["sampled", "masked"])
+    p.add_argument("--B", type=int, default=0,
+                   help="fixed batch for ALL modes (0 = per-mode max batch)")
+    p.add_argument("--mode", type=str, default="block_topk",
+                   choices=["block_topk", "lsh", "full"],
+                   help="flagship mode for the headline JSON")
+    p.add_argument("--hbm-gb", type=float, default=13.0,
+                   help="usable HBM budget for max-batch sizing")
+    p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--quick", action="store_true",
                    help="small config for smoke testing")
     args = p.parse_args()
     if args.quick:
         args.P, args.M, args.G = 16000, 16384, 8
+        args.max_batch = 2
 
     import jax
+
     from magicpig_tpu.config import LSHConfig, preset
-    from magicpig_tpu.runtime.engine import LLM
-    from magicpig_tpu.runtime.synthetic import synthetic_prefill
 
     cfg = preset(args.model)
+    budget = args.hbm_gb * 1e9
 
-    def measure(K, L, mode, params=None):
-        lsh = LSHConfig(K=K, L=L, decode_mode=mode)
-        llm = LLM(cfg, batch_size=args.B, max_length=args.M, lsh=lsh,
-                  params=params, seed=0)
-        synthetic_prefill(llm, args.P, seed=1)
-        tok = np.zeros((args.B,), np.int32)
-        # n_steps is a static arg: warm up with the SAME step count so the
-        # timed call hits the compile cache.
-        t = llm.decode_steps(tok, args.G)                # compile + warmup
-        _ = np.asarray(t)                                # sync
-        t0 = time.perf_counter()
-        t = llm.decode_steps(tok, args.G)
-        _ = np.asarray(t)
-        dt = time.perf_counter() - t0
-        tps = args.B * args.G / dt
-        return tps, llm.avg_sparsity, llm.params
+    modes = {
+        "full": LSHConfig(K=0, L=0),
+        "lsh": LSHConfig(K=args.K, L=args.L, decode_mode="masked"),
+        "block_topk": LSHConfig(K=1, L=0, estimator="block_topk",
+                                offload_quant="int8"),
+    }
 
-    print(f"# bench: {args.model} B={args.B} ctx={args.P} "
-          f"K={args.K}/L={args.L} mode={args.mode} on {jax.devices()}",
-          file=sys.stderr)
-    full_tps, _, params = measure(0, 0, "masked")
-    print(f"# full-attention baseline: {full_tps:.3f} tok/s", file=sys.stderr)
-    lsh_tps, sparsity, _ = measure(args.K, args.L, args.mode, params)
-    print(f"# lsh K={args.K}/L={args.L}: {lsh_tps:.3f} tok/s "
-          f"(avg sampled fraction {sparsity:.4f})", file=sys.stderr)
+    print(f"# bench: {args.model} ctx={args.P} M={args.M} "
+          f"on {jax.devices()}", file=sys.stderr)
+    results = {}
+    for name, lsh in modes.items():
+        if args.B > 0:
+            B = args.B
+        else:
+            B, pbytes, per_req = max_batch(cfg, lsh, args.M, budget)
+            B = min(B, args.max_batch)
+            print(f"# {name}: params {pbytes/1e9:.2f} GB, state/req "
+                  f"{per_req/1e9:.2f} GB -> B={B}", file=sys.stderr)
+        tps, sparsity = measure(cfg, lsh, B, args.M, args.P, args.G)
+        results[name] = (tps, B, sparsity)
+        print(f"# {name}: B={B} -> {tps:.3f} tok/s/chip "
+              f"(sparsity {sparsity:.4f})", file=sys.stderr)
 
+    flag_tps, flag_b, _ = results[args.mode]
+    base_tps, base_b, _ = results["full"]
     print(json.dumps({
-        "metric": f"decode_throughput_{args.model}_ctx{args.P}_K{args.K}L{args.L}",
-        "value": round(lsh_tps, 3),
+        "metric": (f"decode_throughput_{args.model}_ctx{args.P}_"
+                   f"{args.mode}_maxbatch"),
+        "value": round(flag_tps, 3),
         "unit": "tokens/s/chip",
-        "vs_baseline": round(lsh_tps / full_tps, 3),
+        "vs_baseline": round(flag_tps / base_tps, 3),
     }))
 
 

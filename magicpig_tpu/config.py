@@ -256,9 +256,15 @@ class LSHConfig:
     # block_topk (TPU-native fast estimator): exact-score block ranking.
     block_topk_block_size: int = 128
     block_topk_budget_frac: float = 0.08
+    # Offload-region KV storage: "none" keeps the model dtype (bf16);
+    # "int8" stores per-row symmetric-quantized K/V with f32 scales —
+    # halves the sparse layers' HBM state and doubles effective scoring
+    # bandwidth. Dense layers and the hot (sink/local) buffer stay exact.
+    offload_quant: str = "none"
 
     def __post_init__(self):
         assert self.estimator in ESTIMATORS, self.estimator
+        assert self.offload_quant in ("none", "int8"), self.offload_quant
 
     @property
     def enabled(self) -> bool:

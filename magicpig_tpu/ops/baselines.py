@@ -141,7 +141,8 @@ def oracle_sampling_decode(key: jax.Array, q: jnp.ndarray, k: jnp.ndarray,
 
 def block_topk_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       length: jnp.ndarray, block_size: int,
-                      budget_blocks: int):
+                      budget_blocks: int, k_scale: jnp.ndarray | None = None,
+                      v_scale: jnp.ndarray | None = None):
     """Streaming exact-score block-top-k — the TPU-native fast estimator.
 
     Rationale: the reference's LSH machinery exists because its CPU cannot
@@ -155,7 +156,9 @@ def block_topk_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     (strictly better recall at equal budget), and exact softmax over the
     selected tokens.
 
-    q: [B,Hq,d]; k/v: [B,Hkv,S,d]; S % block_size == 0.
+    q: [B,Hq,d]; k/v: [B,Hkv,S,d] (bf16, or int8 with per-row f32
+    k_scale/v_scale [B,Hkv,S] — int8 K halves the scoring stream, the
+    dominant cost); S % block_size == 0.
     Returns (out [B,Hq,d] f32, lse [B,Hq] f32) over the selected tokens.
     """
     b, hq, d = q.shape
@@ -165,8 +168,14 @@ def block_topk_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     budget_blocks = min(budget_blocks, nb)
     qh = _gqa_reshape(q, hkv)
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
-    scores = jnp.einsum("bhgd,bhsd->bhgs", qh, k,
-                        preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        raw = jnp.einsum("bhgd,bhsd->bhgs", qh.astype(jnp.bfloat16),
+                         k.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        scores = raw * (k_scale[:, :, None, :] * scale)
+    else:
+        scores = jnp.einsum("bhgd,bhsd->bhgs", qh, k,
+                            preferred_element_type=jnp.float32) * scale
     valid = (jnp.arange(s)[None, :] < length[:, None])[:, None, None]
     scores = jnp.where(valid, scores, _NEG_INF)
 
@@ -184,6 +193,11 @@ def block_topk_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         b, hkv, g, budget_blocks * block_size)
     v_sel = jax.vmap(jax.vmap(take_blocks))(
         v.reshape(b, hkv, nb, block_size, d), blk_ids)       # [B,Hkv,nb',bs,d]
+    if v_scale is not None:
+        vs_sel = jax.vmap(jax.vmap(take_blocks))(
+            v_scale.reshape(b, hkv, nb, block_size), blk_ids)
+        v_sel = (v_sel.astype(jnp.float32)
+                 * vs_sel[..., None]).astype(jnp.bfloat16)
     v_sel = v_sel.reshape(b, hkv, budget_blocks * block_size, d)
 
     m = jnp.max(s_sel, axis=-1)

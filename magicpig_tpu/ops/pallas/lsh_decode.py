@@ -1,0 +1,226 @@
+"""Fused LSH-sampled decode over the offload region (streaming form).
+
+Two-stage TPU-native fusion of the reference's CPU retrieval + sparse
+attention pipeline (`lsh.cc:210-288` + `sparse_attention.cc:629-1125`):
+
+  1. the >=2-of-L collision mask comes from the packed bit-plane scan
+     (`ops.bitcodes.collision_words`, XLA) and is unpacked to a per-token
+     int8 mask — 1 byte per (q-head, token), ~3 MB/layer at 96K: cheap;
+  2. THIS kernel streams K, V, norms, and that mask through VMEM once and
+     computes the debiased sampled partial:
+
+       raw   = q @ K_blk^T                                (MXU)
+       cos   = raw / (|q| |k|);  w = P[>=2 of L collide]  (debias — the
+               reference `transform_kernel`, sparse_attention.cc:164-184)
+       score = raw/sqrt(d) - log(w + 1e-4)
+       online softmax over masked scores; WV accumulate   (softmax_kernel /
+               wv_kernel equivalents, sparse_attention.cc:186-451)
+
+Why streaming-masked instead of gathering the ~2% sampled rows: scattered
+fetches on TPU cost ~16 ns of DMA issue per row; at ~61K sampled instances
+per layer that exceeds the cost of streaming the whole cache, so the
+bandwidth-optimal exact form reads everything once and masks (measured, see
+BENCHMARKS.md).
+
+head_dim < 128 is handled by token-folding (see ops/pallas/decode.py): the
+[S, d] cache is viewed as [S/fold, 128] and the mask/norm streams are
+pre-permuted into the same folded column order by the XLA wrapper.
+Returns (out, lse, sampled_count) — the count feeds the reference's "Avg
+Sparsity" metric (`attnserver_dist.py:525-527`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from magicpig_tpu.ops.bitcodes import collision_words, unpack_words, valid_words
+
+_NEG = -1e30
+
+
+def _acos(x):
+    """Abramowitz & Stegun 4.4.45 polynomial arccos (|err| <= 2e-4 rad) —
+    `acos` has no Pallas TPU lowering; the reference's kernel uses libm acos
+    (`sparse_attention.cc:171`), and 2e-4 rad is far below the debias
+    epsilon's effect."""
+    ax = jnp.abs(x)
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * (
+        1.5707288 + ax * (-0.2121144 + ax * (0.0742610 + ax * -0.0187293)))
+    return jnp.where(x < 0, math.pi - r, r)
+
+
+def _kernel(q_ref, k_ref, v_ref, norm_ref, mask_ref, o_ref, lse_ref, cnt_ref,
+            m_ref, l_ref, acc_ref, c_ref, *, fold: int, d: int, K: int,
+            L: int, sm_scale: float):
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    q = q_ref[0, 0]                                     # [G, d]
+    g = q.shape[0]
+    k = k_ref[0, 0]                                     # [rows, lane]
+    v = v_ref[0, 0]
+    norm3 = norm_ref[0, 0]                              # [fold, rows]
+    mask4 = mask_ref[0, 0]                              # [G, fold, rows]
+    qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1,
+                          keepdims=True))               # [G, 1]
+
+    # Each fold slot is its own online-softmax sub-block: Mosaic cannot
+    # lane-concatenate MXU outputs ("offset mismatch"), and the online
+    # update is associative anyway.
+    for f in range(fold):
+        ks = k[:, f * d:(f + 1) * d]                    # [rows, d]
+        raw = jax.lax.dot_general(
+            q, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [G, rows]
+        sel = mask4[:, f, :] > 0                        # [G, rows]
+        knorm = norm3[f:f + 1, :]                       # [1, rows]
+
+        cosv = raw / jnp.maximum(qn * knorm, 1e-20)
+        cosv = jnp.clip(cosv, -1.0, 1.0)
+        p_bit = 1.0 - _acos(cosv) / math.pi
+        p_tab = p_bit ** K
+        q_tab = 1.0 - p_tab
+        w = 1.0 - q_tab ** (L - 1) * (L * p_tab + q_tab)
+        s = raw * sm_scale - jnp.log(w + 1e-4)
+        s = jnp.where(sel, s, _NEG)
+
+        m_prev = m_ref[:]                               # [G, 128]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
+        p = jnp.exp(s - m_new[:, :1]) * sel.astype(jnp.float32)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        c_ref[:] = c_ref[:] + jnp.sum(sel.astype(jnp.float32), axis=-1,
+                                      keepdims=True)
+        vs = v[:, f * d:(f + 1) * d]                    # [rows, d]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), vs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(c == nc - 1)
+    def _():
+        l = l_ref[:, :1]
+        safe = jnp.where(l > 0, l, 1.0)
+        o_ref[0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+        m = m_ref[:, :1]
+        lse = jnp.where(l > 0, m + jnp.log(safe), -jnp.inf)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        cnt_ref[0, 0] = jnp.broadcast_to(c_ref[:, :1], cnt_ref.shape[2:])
+
+
+def _iq(b, h, c):
+    return (b, h, 0, 0)
+
+
+def _ikv(b, h, c):
+    return (b, h, c, 0)
+
+
+def _inorm(b, h, c):
+    return (b, h, 0, c)
+
+
+def _imask(b, h, c):
+    return (b, h, 0, 0, c)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "L", "sm_scale",
+                                             "block_tokens", "interpret"))
+def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
+                         k_norm: jax.Array, mask: jax.Array,
+                         K: int, L: int, sm_scale: float | None = None,
+                         block_tokens: int = 4096, interpret: bool = False):
+    """Streaming masked+debiased attention kernel (stage 2).
+
+    mask: [B, Hq, S] bool/int8 (already length-masked). Other args as in
+    `lsh_fused_decode`. Returns (out, lse, sampled_count).
+    """
+    b, hq, d = q.shape
+    hkv, s = k_centered.shape[1], k_centered.shape[2]
+    g = hq // hkv
+    fold = max(128 // d, 1)
+    blk = min(block_tokens, s)
+    assert s % blk == 0 and blk % (fold * 32) == 0, (s, blk, fold)
+    rows = blk // fold
+    lane = 128 if fold > 1 else d
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+
+    qh = q.reshape(b, hkv, g, d)
+    k2 = k_centered.reshape(b, hkv, s // fold, lane)
+    v2 = v.reshape(b, hkv, s // fold, lane)
+    # Fold-permuted streams: token t = R*fold + f -> [.., f, R].
+    norm_f = k_norm.astype(jnp.float32).reshape(
+        b, hkv, s // fold, fold).transpose(0, 1, 3, 2)   # [B,Hkv,fold,S/f]
+    mask_f = mask.astype(jnp.int32).reshape(
+        b, hkv, g, s // fold, fold).transpose(0, 1, 2, 4, 3)
+
+    kernel = functools.partial(_kernel, fold=fold, d=d, K=K, L=L,
+                               sm_scale=scale)
+    out, lse, cnt = pl.pallas_call(
+        kernel,
+        grid=(b, hkv, s // blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), _iq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fold, rows), _inorm,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, fold, rows), _imask,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, g, d), _iq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, 128), _iq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g, 128), _iq, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hkv, g, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, g, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, g, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, k2, v2, norm_f, mask_f)
+    return (out.reshape(b, hq, d), lse[..., 0].reshape(b, hq),
+            cnt[..., 0].reshape(b, hq))
+
+
+def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
+                     k_norm: jax.Array, planes: jax.Array,
+                     q_bits: jax.Array, length: jax.Array, K: int, L: int,
+                     sm_scale: float | None = None,
+                     block_tokens: int = 4096, interpret: bool = False):
+    """Full LSH-sampled decode partial: bit-plane collision scan (XLA) +
+    streaming masked attention (Pallas).
+
+    q: [B, Hq, d]; k_centered/v: [B, Hkv, S, d]; k_norm: [B, Hkv, S] f32;
+    planes: [B, Hkv, L, K, S//32] int32; q_bits: [B, Hq, L, K]; length: [B].
+    Returns (out [B,Hq,d] f32, lse [B,Hq] f32, sampled [B,Hq] f32 counts).
+    """
+    s = k_centered.shape[2]
+    words = collision_words(q_bits, planes)              # [B, Hq, W]
+    words = words & valid_words(length, s // 32)[:, None]
+    mask = unpack_words(words, s)                        # [B, Hq, S] bool
+    return lsh_masked_attention(q, k_centered, v, k_norm, mask, K, L,
+                                sm_scale=sm_scale, block_tokens=block_tokens,
+                                interpret=interpret)

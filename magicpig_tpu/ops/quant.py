@@ -1,0 +1,30 @@
+"""Per-row symmetric int8 quantization for the offload KV cache.
+
+The reference stores the offloaded KV in bf16 CPU DRAM
+(`models/attnserver.py:136-175`); on TPU, int8 storage halves both the HBM
+footprint of the sparse layers' state (more requests per chip) and the bytes
+streamed when scoring keys — the levers that set max-batch decode throughput.
+Scales are per (head, token) row, f32.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quantize_rows(x: jnp.ndarray):
+    """[..., S, d] -> (int8 [..., S, d], scale f32 [..., S]).
+
+    Symmetric per-row: scale = max|row| / 127; zero rows get scale 0 and
+    dequantize to exact zeros.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = amax / 127.0
+    q = jnp.round(xf / jnp.maximum(scale, 1e-20)[..., None])
+    return q.astype(jnp.int8), scale
+
+
+def dequantize_rows(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
+    """Inverse of quantize_rows: int8 [..., S, d] * scale [..., S]."""
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)

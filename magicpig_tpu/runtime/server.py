@@ -46,6 +46,7 @@ from magicpig_tpu.ops.bitcodes import (
     valid_words,
 )
 from magicpig_tpu.ops.merge import merge_partials
+from magicpig_tpu.ops.quant import dequantize_rows, quantize_rows
 from magicpig_tpu.runtime.state import DecodeState, tuple_set
 
 
@@ -133,6 +134,11 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
         off_k_f = off_k.astype(jnp.float32) * valid
         avg = off_k_f.sum(0) / jnp.maximum(off_len, 1)      # [Hkv, d] f32
         centered = (off_k_f - avg[None]) * valid            # zeros beyond len
+        if lsh.offload_quant == "int8":
+            # Quantize first so the stored norms describe the keys decode
+            # actually scores against (the debias cos must be consistent).
+            off_k_q, k_scale = quantize_rows(centered)
+            centered = dequantize_rows(off_k_q, k_scale, jnp.float32)
         k_norm = jnp.linalg.norm(centered, axis=-1)         # [off_cap, Hkv]
         planes = build_planes(centered, projections, lsh.K)  # [Hkv,L,K,W]
         hot_k = (hot_k.astype(jnp.float32) - avg[None]).astype(k_full.dtype)
@@ -144,7 +150,7 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
                             _write_request(state.avg_k[si],
                                            avg.astype(jnp.float32), req)),
         )
-        off_k = centered.astype(state.off_k[si].dtype)
+        off_k = centered
     elif lsh.estimator == "quest":
         # Landmarks over the padded buffer; invalid pages are masked at
         # decode by off_len (their scores go to -inf in `quest_decode`).
@@ -159,9 +165,20 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
                                                kmax[0], req)),
         )
 
+    if lsh.offload_quant == "int8":
+        # Per-row symmetric quantization of the offload region (dense layers
+        # and the hot buffer stay exact; see ops.quant).
+        off_k_q, k_scale = quantize_rows(off_k)             # [cap,Hkv,*]
+        off_v_q, v_scale = quantize_rows(off_v)
+        state = state.replace(
+            off_k_scale=wr(state.off_k_scale, si, k_scale),
+            off_v_scale=wr(state.off_v_scale, si, v_scale),
+        )
+        off_k, off_v = off_k_q, off_v_q
+
     return state.replace(
-        off_k=wr(state.off_k, si, off_k),
-        off_v=wr(state.off_v, si, off_v),
+        off_k=wr(state.off_k, si, off_k.astype(state.off_k[si].dtype)),
+        off_v=wr(state.off_v, si, off_v.astype(state.off_v[si].dtype)),
         hot_k=wr(state.hot_k, si, hot_k),
         hot_v=wr(state.hot_v, si, hot_v),
         off_len=state.off_len.at[req].set(off_len),
@@ -190,11 +207,22 @@ def decode_dense_layer(state: DecodeState, di: int, q: jax.Array,
     return out, state
 
 
+def _off_kv(state: DecodeState, si: int, lsh: LSHConfig, dtype):
+    """Offload K/V for streaming consumers, dequantized lazily when int8
+    (XLA fuses the convert+scale into the consuming matmul's read)."""
+    k, v = state.off_k[si], state.off_v[si]
+    if lsh.offload_quant == "int8":
+        k = dequantize_rows(k, state.off_k_scale[si], dtype)
+        v = dequantize_rows(v, state.off_v_scale[si], dtype)
+    return k, v
+
+
 def _lsh_partial(state, si, q, projections, lsh):
     """LSH-sampled partial over the offload region; returns (out, lse, frac)."""
     b, hq, d = q.shape
     off_cap = state.off_k[si].shape[2]
     w = state.planes[si].shape[-1]
+    off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16)
 
     q_bits = hash_bits(q, projections, lsh.K)               # [B,Hq,L,K]
     words = collision_words(q_bits, state.planes[si])       # [B,Hq,W]
@@ -208,11 +236,11 @@ def _lsh_partial(state, si, q, projections, lsh):
         budget = lsh.sample_budget(off_cap)
         ids, ids_valid = mask_to_budget_ids(mask, budget)
         out, lse = lsh_sampled_decode(
-            q, state.off_k[si], state.off_v[si], state.k_norm[si], ids,
+            q, off_k, off_v, state.k_norm[si], ids,
             ids_valid, lsh.K, lsh.L)
     else:
         out, lse = lsh_masked_decode(
-            q, state.off_k[si], state.off_v[si], state.k_norm[si], mask,
+            q, off_k, off_v, state.k_norm[si], mask,
             state.off_len, lsh.K, lsh.L)
     return out, lse, frac
 
@@ -251,29 +279,34 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
     elif lsh.estimator == "quest":
         pages = _static_budget(off_cap // lsh.quest_page_size,
                                lsh.quest_budget_frac, floor=1)
+        off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16)
         o_off, lse_off = quest_decode(
-            q, state.off_k[si], state.off_v[si], state.quest_min[si],
+            q, off_k, off_v, state.quest_min[si],
             state.quest_max[si], state.off_len, lsh.quest_page_size, pages)
         frac = (pages * lsh.quest_page_size) / jnp.maximum(
             state.off_len, 1).mean()
     elif lsh.estimator == "topk":
         n = _static_budget(off_cap, lsh.topk_budget_frac)
-        o_off, lse_off = topk_decode(q, state.off_k[si], state.off_v[si],
-                                     state.off_len, n)
+        off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16)
+        o_off, lse_off = topk_decode(q, off_k, off_v, state.off_len, n)
         frac = n / jnp.maximum(state.off_len, 1).mean()
     elif lsh.estimator == "block_topk":
         bs = lsh.block_topk_block_size
         blocks = _static_budget(off_cap // bs, lsh.block_topk_budget_frac,
                                 floor=1)
+        quant = lsh.offload_quant == "int8"
         o_off, lse_off = block_topk_decode(
-            q, state.off_k[si], state.off_v[si], state.off_len, bs, blocks)
+            q, state.off_k[si], state.off_v[si], state.off_len, bs, blocks,
+            k_scale=state.off_k_scale[si] if quant else None,
+            v_scale=state.off_v_scale[si] if quant else None)
         frac = (blocks * bs) / jnp.maximum(state.off_len, 1).mean()
     elif lsh.estimator == "oracle_sampling":
         n = _static_budget(off_cap, lsh.os_budget_frac)
         key = jax.random.fold_in(jax.random.key(677232254), state.step)
         key = jax.random.fold_in(key, si)
+        off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16)
         o_off, lse_off = oracle_sampling_decode(
-            key, q, state.off_k[si], state.off_v[si], state.off_len, n)
+            key, q, off_k, off_v, state.off_len, n)
         frac = n / jnp.maximum(state.off_len, 1).mean()
     else:  # pragma: no cover
         raise ValueError(lsh.estimator)

@@ -50,9 +50,12 @@ class DecodeState:
     hot_v: ArrayTuple
     hot_len: jax.Array        # [B] i32
 
-    # Sparse layers — offloaded middle:
+    # Sparse layers — offloaded middle (model dtype, or int8 when
+    # offload_quant == "int8", with per-row f32 scales):
     off_k: ArrayTuple         # per-layer [B, Hkv, off_cap, d]
     off_v: ArrayTuple
+    off_k_scale: ArrayTuple   # per-layer [B, Hkv, off_cap] f32 (int8 only)
+    off_v_scale: ArrayTuple
     off_len: jax.Array        # [B] i32
 
     # LSH-only state (empty tuples for other estimators):
@@ -100,6 +103,8 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
 
     is_lsh = lsh.estimator == "lsh" and ns > 0
     is_quest = lsh.estimator == "quest" and ns > 0
+    quant = lsh.offload_quant == "int8" and ns > 0
+    off_dt = jnp.int8 if quant else dt
     n_pages = max(off_cap // lsh.quest_page_size, 1)
 
     return DecodeState(
@@ -109,8 +114,12 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
         hot_k=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
         hot_v=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
         hot_len=jnp.zeros((b,), jnp.int32),
-        off_k=per_layer(ns, (b, hkv, off_cap, d), dt),
-        off_v=per_layer(ns, (b, hkv, off_cap, d), dt),
+        off_k=per_layer(ns, (b, hkv, off_cap, d), off_dt),
+        off_v=per_layer(ns, (b, hkv, off_cap, d), off_dt),
+        off_k_scale=per_layer(ns if quant else 0, (b, hkv, off_cap),
+                              jnp.float32),
+        off_v_scale=per_layer(ns if quant else 0, (b, hkv, off_cap),
+                              jnp.float32),
         off_len=jnp.zeros((b,), jnp.int32),
         k_norm=per_layer(ns if is_lsh else 0, (b, hkv, off_cap), jnp.float32),
         avg_k=per_layer(ns if is_lsh else 0, (b, hkv, d), jnp.float32),

@@ -225,3 +225,32 @@ def test_negative_k_selects_quest():
               chunk_size=32)
     assert llm.lsh.estimator == "quest"
     assert llm.lsh.K == 10
+
+
+@pytest.mark.parametrize("estimator", ["block_topk", "lsh", "topk"])
+def test_int8_offload_tracks_bf16(tiny_params, estimator):
+    """int8 offload KV must track the exact engine closely (per-row
+    symmetric quantization keeps ~0.4% relative error on scores)."""
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(1, TINY.vocab_size, size=120).astype(np.int32)
+
+    # For lsh use K=1/L=32 (samples ~everything, debias ~1) so the int8-vs-
+    # bf16 delta is pure quantization, not a different random sampled set.
+    kw = dict(estimator=estimator, block_topk_block_size=16,
+              block_topk_budget_frac=1.0, topk_budget_frac=1.0,
+              K=1 if estimator == "lsh" else 10,
+              L=32 if estimator == "lsh" else 0)
+    exact = _make_llm(params=tiny_params, **kw)
+    quant = _make_llm(params=tiny_params, offload_quant="int8", **kw)
+
+    le = np.asarray(exact.prefill(prompt))
+    lq = np.asarray(quant.prefill(prompt))
+    np.testing.assert_allclose(lq, le, rtol=1e-3, atol=1e-3)  # prefill exact
+
+    tok = int(le[0].argmax())
+    for _ in range(3):
+        le = np.asarray(exact.inference(np.asarray([tok])))
+        lq = np.asarray(quant.inference(np.asarray([tok])))
+        err = np.abs(lq - le).max() / max(np.abs(le).max(), 1e-6)
+        assert err < 0.1, f"{estimator} int8 drift: {err}"
+        tok = int(le[0].argmax())

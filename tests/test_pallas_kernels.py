@@ -1,0 +1,79 @@
+"""Pallas kernels vs XLA oracles (interpreter mode on the CPU mesh).
+
+Mirrors the reference's kernel test strategy: every native kernel is checked
+against a pure-framework oracle (`library/sparse_attention/test.py`,
+`library/lsh/test.py`)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicpig_tpu.ops.attention import full_decode, lsh_masked_decode
+from magicpig_tpu.ops.bitcodes import (
+    build_planes,
+    collision_words,
+    hash_bits,
+    unpack_words,
+    valid_words,
+)
+from magicpig_tpu.ops.hashing import make_hash_projections
+from magicpig_tpu.ops.pallas.decode import flash_decode
+from magicpig_tpu.ops.pallas.lsh_decode import lsh_fused_decode
+
+
+@pytest.mark.parametrize("B,HKV,G,S,D,BLK", [
+    (2, 2, 4, 256, 64, 64),
+    (1, 2, 2, 256, 128, 128),
+    (1, 2, 4, 512, 16, 128),
+])
+def test_flash_decode_matches_full_decode(B, HKV, G, S, D, BLK):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    length = jnp.asarray(rng.integers(1, S, (B,)), jnp.int32)
+    o1, l1 = full_decode(q, k, v, length)
+    o2, l2 = flash_decode(q, k, v, length, block_tokens=BLK, interpret=True)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=2e-3, atol=2e-3)
+    # zero length -> (0, -inf)
+    o3, l3 = flash_decode(q, k, v, jnp.zeros((B,), jnp.int32),
+                          block_tokens=BLK, interpret=True)
+    assert np.all(np.asarray(o3) == 0)
+    assert np.all(np.isneginf(np.asarray(l3)))
+
+
+@pytest.mark.parametrize("B,HKV,G,S,D,K,L,BLK", [
+    (1, 2, 4, 256, 64, 6, 20, 128),
+    (2, 2, 2, 512, 128, 10, 30, 128),
+    (1, 2, 4, 512, 16, 4, 8, 256),
+])
+def test_lsh_fused_matches_masked_oracle(B, HKV, G, S, D, K, L, BLK):
+    rng = np.random.default_rng(1)
+    HQ = HKV * G
+    q = jnp.asarray(rng.standard_normal((B, HQ, D)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    knorm = jnp.linalg.norm(kc.astype(jnp.float32), axis=-1)
+    proj = make_hash_projections(jax.random.key(1), D, K, L)
+    planes = jax.vmap(lambda kb: build_planes(
+        kb.transpose(1, 0, 2), proj, K, chunk=64))(kc)
+    qb = hash_bits(q, proj, K)
+    length = jnp.asarray(rng.integers(S // 2, S, (B,)), jnp.int32)
+
+    words = collision_words(qb, planes)
+    words = words & valid_words(length, S // 32)[:, None]
+    mask = unpack_words(words, S)
+    o1, l1 = lsh_masked_decode(q, kc, vc, knorm, mask, length, K, L)
+
+    o2, l2, cnt = lsh_fused_decode(q, kc, vc, knorm, planes, qb, length,
+                                   K, L, block_tokens=BLK, interpret=True)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_array_equal(np.asarray(cnt),
+                                  np.asarray(mask.sum(-1), np.float32))
