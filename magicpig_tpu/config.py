@@ -256,6 +256,10 @@ class LSHConfig:
     # block_topk (TPU-native fast estimator): exact-score block ranking.
     block_topk_block_size: int = 128
     block_topk_budget_frac: float = 0.08
+    # LSH masked decode backend: "auto" uses the fused Pallas streaming
+    # kernel on TPU (ops/pallas/lsh_decode.py) and pure XLA elsewhere;
+    # "on"/"off" force it. The Pallas path currently requires bf16 offload.
+    use_pallas: str = "auto"
     # Offload-region KV storage: "none" keeps the model dtype (bf16);
     # "int8" stores per-row symmetric-quantized K/V with f32 scales —
     # halves the sparse layers' HBM state and doubles effective scoring

@@ -217,12 +217,34 @@ def _off_kv(state: DecodeState, si: int, lsh: LSHConfig, dtype):
     return k, v
 
 
+def _use_pallas(lsh: LSHConfig, head_dim: int) -> bool:
+    if lsh.use_pallas == "off" or lsh.offload_quant != "none":
+        return False
+    if lsh.use_pallas == "on":
+        return True
+    # auto: production head dims only — the fold>=4 lane-slicing path
+    # mis-lowers on real hardware (interpret mode is exact; Mosaic isn't).
+    return jax.default_backend() not in ("cpu",) and head_dim >= 32
+
+
 def _lsh_partial(state, si, q, projections, lsh):
     """LSH-sampled partial over the offload region; returns (out, lse, frac)."""
     b, hq, d = q.shape
     off_cap = state.off_k[si].shape[2]
     w = state.planes[si].shape[-1]
     off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16)
+
+    if lsh.decode_mode == "masked" and _use_pallas(lsh, d):
+        # Fused streaming kernel: bit-plane scan (XLA) + masked+debiased
+        # attention (Pallas), see ops/pallas/lsh_decode.py.
+        from magicpig_tpu.ops.pallas.lsh_decode import lsh_fused_decode
+
+        q_bits = hash_bits(q, projections, lsh.K)
+        out, lse, cnt = lsh_fused_decode(
+            q, off_k, off_v, state.k_norm[si], state.planes[si], q_bits,
+            state.off_len, lsh.K, lsh.L)
+        frac = cnt.sum() / jnp.maximum(state.off_len.sum() * hq, 1)
+        return out, lse, frac
 
     q_bits = hash_bits(q, projections, lsh.K)               # [B,Hq,L,K]
     words = collision_words(q_bits, state.planes[si])       # [B,Hq,W]

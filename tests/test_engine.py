@@ -254,3 +254,33 @@ def test_int8_offload_tracks_bf16(tiny_params, estimator):
         err = np.abs(lq - le).max() / max(np.abs(le).max(), 1e-6)
         assert err < 0.1, f"{estimator} int8 drift: {err}"
         tok = int(le[0].argmax())
+
+
+def test_continuous_batching_scheduler(tiny_params):
+    """Continuous batching: 4 requests over 2 slots; each result must match
+    a dedicated single-request engine (greedy)."""
+    from magicpig_tpu.runtime.serving import Scheduler
+
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, TINY.vocab_size, size=n).astype(np.int32)
+               for n in (60, 72, 66, 80)]
+
+    llm = LLM(_fp32_tiny(), batch_size=2, max_length=MAX_LEN, chunk_size=32,
+              params=tiny_params,
+              lsh=LSHConfig(K=6, L=40, num_sink_tokens=4, num_local_tokens=16,
+                            generation_buffer=32))
+    sched = Scheduler(llm)
+    for p in prompts:
+        sched.submit(p, max_tokens=4)
+    finished = sched.run()
+    assert len(finished) == 4
+    by_uid = {r.uid: r for r in finished}
+
+    for uid, p in zip(sorted(by_uid), prompts):
+        single = _make_llm(K=6, L=40, params=tiny_params)
+        logits = single.prefill(p)
+        want = [int(np.asarray(logits)[0].argmax())]
+        for _ in range(3):
+            logits = single.inference(np.asarray([want[-1]]))
+            want.append(int(np.asarray(logits)[0].argmax()))
+        assert by_uid[uid].generated[:4] == want, uid
