@@ -119,11 +119,24 @@ def main():
         if args.B > 0:
             B = args.B
         else:
+            # Analytical sizing is a starting point only: XLA hoists lane-
+            # padded (128/d x) copies of d<128 caches inside the decode scan,
+            # so real usage can be ~2x the state bytes — back off on OOM.
             B, pbytes, per_req = max_batch(cfg, lsh, args.M, budget)
-            B = min(B, args.max_batch)
+            pad = max(128 // cfg.head_dim, 1)
+            B = min(max(B // pad, 1), args.max_batch)
             print(f"# {name}: params {pbytes/1e9:.2f} GB, state/req "
-                  f"{per_req/1e9:.2f} GB -> B={B}", file=sys.stderr)
-        tps, sparsity = measure(cfg, lsh, B, args.M, args.P, args.G)
+                  f"{per_req/1e9:.2f} GB (x{pad} padding) -> B={B}",
+                  file=sys.stderr)
+        while True:
+            try:
+                tps, sparsity = measure(cfg, lsh, B, args.M, args.P, args.G)
+                break
+            except Exception as e:  # noqa: BLE001
+                if "out of memory" not in str(e).lower() or B <= 1:
+                    raise
+                B -= 1
+                print(f"# {name}: OOM, retrying with B={B}", file=sys.stderr)
         results[name] = (tps, B, sparsity)
         print(f"# {name}: B={B} -> {tps:.3f} tok/s/chip "
               f"(sparsity {sparsity:.4f})", file=sys.stderr)

@@ -142,7 +142,8 @@ def oracle_sampling_decode(key: jax.Array, q: jnp.ndarray, k: jnp.ndarray,
 def block_topk_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       length: jnp.ndarray, block_size: int,
                       budget_blocks: int, k_scale: jnp.ndarray | None = None,
-                      v_scale: jnp.ndarray | None = None):
+                      v_scale: jnp.ndarray | None = None,
+                      scores: jnp.ndarray | None = None):
     """Streaming exact-score block-top-k — the TPU-native fast estimator.
 
     Rationale: the reference's LSH machinery exists because its CPU cannot
@@ -164,18 +165,32 @@ def block_topk_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, hq, d = q.shape
     hkv, s = k.shape[1], k.shape[2]
     g = hq // hkv
-    nb = s // block_size
-    budget_blocks = min(budget_blocks, nb)
     qh = _gqa_reshape(q, hkv)
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
-    if k_scale is not None:
-        raw = jnp.einsum("bhgd,bhsd->bhgs", qh.astype(jnp.bfloat16),
-                         k.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-        scores = raw * (k_scale[:, :, None, :] * scale)
-    else:
-        scores = jnp.einsum("bhgd,bhsd->bhgs", qh, k,
-                            preferred_element_type=jnp.float32) * scale
+    if scores is None:
+        if k_scale is not None:
+            raw = jnp.einsum("bhgd,bhsd->bhgs", qh.astype(jnp.bfloat16),
+                             k.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            scores = raw * (k_scale[:, :, None, :] * scale)
+        else:
+            scores = jnp.einsum("bhgd,bhsd->bhgs", qh, k,
+                                preferred_element_type=jnp.float32) * scale
+    return block_topk_from_scores(scores, v, length, block_size,
+                                  budget_blocks, v_scale=v_scale)
+
+
+def block_topk_from_scores(scores: jnp.ndarray, v: jnp.ndarray,
+                           length: jnp.ndarray, block_size: int,
+                           budget_blocks: int,
+                           v_scale: jnp.ndarray | None = None):
+    """block_topk selection + attention from precomputed scaled scores
+    [B,Hkv,G,S] f32 (e.g. the Pallas `ops.pallas.score.exact_scores`)."""
+    b, hkv, g, s = scores.shape
+    hq = hkv * g
+    d = v.shape[-1]
+    nb = s // block_size
+    budget_blocks = min(budget_blocks, nb)
     valid = (jnp.arange(s)[None, :] < length[:, None])[:, None, None]
     scores = jnp.where(valid, scores, _NEG_INF)
 

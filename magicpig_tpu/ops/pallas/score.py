@@ -1,0 +1,103 @@
+"""Streaming exact-score kernel for block_topk over (optionally int8) K.
+
+Scores every cached key against the decode queries in one pass:
+raw = q @ K_blk^T on the MXU, dequantized in-register from int8 (the whole
+point: XLA's einsum over an int8 cache hoists a lane-padded bf16 copy of the
+entire cache inside the decode scan — 4x the int8 bytes resident and a 2x
+read; this kernel reads the raw int8 layout once).
+
+Outputs scores in fold-permuted order [B, Hkv, G, fold, S/fold] (see
+ops/pallas/decode.py for the token-folding scheme); the XLA wrapper
+transposes back to token order — a few MB, negligible.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, scale_ref, o_ref, *, fold: int, d: int,
+            sm_scale: float, quant: bool):
+    q = q_ref[0, 0]                                     # [G, d]
+    k = k_ref[0, 0]                                     # [rows, lane]
+    for f in range(fold):
+        ks = k[:, f * d:(f + 1) * d]                    # [rows, d] (int8/bf16)
+        raw = jax.lax.dot_general(
+            q, ks.astype(jnp.bfloat16) if quant else ks,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [G, rows]
+        s = raw * sm_scale
+        if quant:
+            s = s * scale_ref[0, 0, f:f + 1, :]         # [1, rows] bcast
+        o_ref[0, 0, :, f, :] = s
+
+
+def _iq(b, h, c):
+    return (b, h, 0, 0)
+
+
+def _ikv(b, h, c):
+    return (b, h, c, 0)
+
+
+def _isc(b, h, c):
+    return (b, h, 0, c)
+
+
+def _io(b, h, c):
+    return (b, h, 0, 0, c)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_tokens",
+                                             "interpret"))
+def exact_scores(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,
+                 sm_scale: float | None = None, block_tokens: int = 8192,
+                 interpret: bool = False) -> jax.Array:
+    """Scaled attention scores for all cached keys.
+
+    q: [B, Hq, d]; k: [B, Hkv, S, d] (bf16, or int8 with per-row f32
+    k_scale [B, Hkv, S]). Returns scores [B, Hkv, G, S] f32 (un-masked; the
+    caller applies length masking).
+    """
+    b, hq, d = q.shape
+    hkv, s = k.shape[1], k.shape[2]
+    g = hq // hkv
+    fold = max(128 // d, 1)
+    blk = min(block_tokens, s)
+    assert s % blk == 0 and blk % (fold * 32) == 0, (s, blk, fold)
+    rows = blk // fold
+    lane = 128 if fold > 1 else d
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    quant = k_scale is not None
+
+    qh = q.astype(jnp.bfloat16).reshape(b, hkv, g, d)
+    k2 = k.reshape(b, hkv, s // fold, lane)
+    if quant:
+        scale_f = k_scale.astype(jnp.float32).reshape(
+            b, hkv, s // fold, fold).transpose(0, 1, 3, 2)  # [B,Hkv,fold,S/f]
+    else:
+        scale_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)
+
+    kernel = functools.partial(_kernel, fold=fold, d=d, sm_scale=scale,
+                               quant=quant)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, hkv, s // blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), _iq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fold, rows), _isc, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, fold, rows), _io,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, fold, s // fold),
+                                       jnp.float32),
+        interpret=interpret,
+    )(qh, k2, scale_f)
+    # fold-permuted -> token order: [B,Hkv,G,fold,S/f] -> [.., S/f, fold]
+    return out.transpose(0, 1, 2, 4, 3).reshape(b, hkv, g, s)

@@ -317,10 +317,20 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
         blocks = _static_budget(off_cap // bs, lsh.block_topk_budget_frac,
                                 floor=1)
         quant = lsh.offload_quant == "int8"
+        k_scale = state.off_k_scale[si] if quant else None
+        scores = None
+        if (lsh.use_pallas != "off" and q.shape[-1] >= 32
+                and jax.default_backend() not in ("cpu",)):
+            # Pallas scorer: reads the raw (int8) cache once — XLA's einsum
+            # hoists a lane-padded bf16 copy of the whole cache instead.
+            from magicpig_tpu.ops.pallas.score import exact_scores
+
+            scores = exact_scores(q, state.off_k[si], k_scale)
         o_off, lse_off = block_topk_decode(
             q, state.off_k[si], state.off_v[si], state.off_len, bs, blocks,
-            k_scale=state.off_k_scale[si] if quant else None,
-            v_scale=state.off_v_scale[si] if quant else None)
+            k_scale=k_scale,
+            v_scale=state.off_v_scale[si] if quant else None,
+            scores=scores)
         frac = (blocks * bs) / jnp.maximum(state.off_len, 1).mean()
     elif lsh.estimator == "oracle_sampling":
         n = _static_budget(off_cap, lsh.os_budget_frac)

@@ -77,3 +77,28 @@ def test_lsh_fused_matches_masked_oracle(B, HKV, G, S, D, K, L, BLK):
                                rtol=3e-3, atol=3e-3)
     np.testing.assert_array_equal(np.asarray(cnt),
                                   np.asarray(mask.sum(-1), np.float32))
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("D", [64, 128])
+def test_exact_scores_kernel(quant, D):
+    from magicpig_tpu.ops.pallas.score import exact_scores
+    from magicpig_tpu.ops.quant import quantize_rows, dequantize_rows
+
+    rng = np.random.default_rng(2)
+    B, HKV, G, S = 1, 2, 4, 512
+    q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    if quant:
+        kq, ks = quantize_rows(k)
+        got = exact_scores(q, kq, ks, block_tokens=256, interpret=True)
+        kref = dequantize_rows(kq, ks, jnp.float32)
+    else:
+        got = exact_scores(q, k.astype(jnp.bfloat16), None,
+                           block_tokens=256, interpret=True)
+        kref = k.astype(jnp.bfloat16)
+    ref = jnp.einsum("bhgd,bhsd->bhgs",
+                     q.astype(jnp.bfloat16).reshape(B, HKV, G, D), kref,
+                     preferred_element_type=jnp.float32) / np.sqrt(D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
