@@ -16,63 +16,78 @@ Modes measured:
                  offload cache (scores every key on the MXU from an int8
                  stream; V gathered for top blocks only)
 
-Prints ONE JSON line with the flagship (block_topk) result;
-per-mode numbers go to stderr.
+Each (mode, batch) attempt runs in a fresh subprocess: a TPU OOM poisons the
+client (even scalar allocations fail afterwards), so in-process backoff is
+impossible. Prints ONE JSON line with the flagship result; per-mode numbers
+go to stderr.
 """
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
-def measure(cfg, lsh, B, M, P, G, warmup_steps=None):
-    import jax
+def make_lsh(mode, K, L):
+    from magicpig_tpu.config import LSHConfig
 
+    if mode == "full":
+        return LSHConfig(K=0, L=0)
+    if mode == "lsh":
+        return LSHConfig(K=K, L=L, decode_mode="masked")
+    if mode == "block_topk":
+        return LSHConfig(K=1, L=0, estimator="block_topk",
+                         offload_quant="int8")
+    raise ValueError(mode)
+
+
+def worker(args):
+    """Measure one (mode, B) in this process; print WORKER:{json}."""
+    from magicpig_tpu.config import preset
     from magicpig_tpu.runtime.engine import LLM
     from magicpig_tpu.runtime.synthetic import synthetic_prefill
 
-    llm = LLM(cfg, batch_size=B, max_length=M, lsh=lsh, seed=0)
-    synthetic_prefill(llm, P, seed=1)
-    tok = np.zeros((B,), np.int32)
-    t = llm.decode_steps(tok, G)       # compile + warmup (same static shape)
+    cfg = preset(args.model)
+    lsh = make_lsh(args.worker, args.K, args.L)
+    llm = LLM(cfg, batch_size=args.B, max_length=args.M, lsh=lsh, seed=0)
+    synthetic_prefill(llm, args.P, seed=1)
+    tok = np.zeros((args.B,), np.int32)
+    t = llm.decode_steps(tok, args.G)   # compile + warmup (same static shape)
     _ = np.asarray(t)
     t0 = time.perf_counter()
-    t = llm.decode_steps(tok, G)
+    t = llm.decode_steps(tok, args.G)
     _ = np.asarray(t)
     dt = time.perf_counter() - t0
-    tps = B * G / dt
-    sparsity = llm.avg_sparsity
-    del llm
-    return tps, sparsity
+    print("WORKER:" + json.dumps({
+        "tps": args.B * args.G / dt,
+        "sparsity": float(llm.avg_sparsity),
+    }), flush=True)
 
 
-def state_bytes_per_request(cfg, lsh, M):
-    """HBM bytes of decode state per request (via eval_shape, no alloc)."""
+def analytic_batch(model, mode, K, L, M, hbm_budget, max_b):
     import jax
 
+    from magicpig_tpu.config import preset
+    from magicpig_tpu.models.llama import init_params
     from magicpig_tpu.runtime import state as state_lib
 
-    shapes = jax.eval_shape(
-        lambda: state_lib.init_state(cfg, lsh, 1, M))
-    return sum(np.prod(l.shape) * l.dtype.itemsize
-               for l in jax.tree.leaves(shapes))
-
-
-def max_batch(cfg, lsh, M, hbm_budget):
-    import jax
-
-    from magicpig_tpu.models.llama import init_params
-
-    pshapes = jax.eval_shape(
-        lambda: init_params(cfg, jax.random.key(0), M))
+    cfg = preset(model)
+    lsh = make_lsh(mode, K, L)
+    pshapes = jax.eval_shape(lambda: init_params(cfg, jax.random.key(0), M))
     pbytes = sum(np.prod(l.shape) * l.dtype.itemsize
                  for l in jax.tree.leaves(pshapes))
-    per_req = state_bytes_per_request(cfg, lsh, M)
-    b = int((hbm_budget - pbytes) // per_req)
-    return max(b, 1), pbytes, per_req
+    sshapes = jax.eval_shape(lambda: state_lib.init_state(cfg, lsh, 1, M))
+    per_req = sum(np.prod(l.shape) * l.dtype.itemsize
+                  for l in jax.tree.leaves(sshapes))
+    # XLA hoists lane-padded (128/d x) copies of bf16 d<128 caches inside
+    # the decode scan; int8 modes use the Pallas scorer on a folded layout.
+    pad = max(128 // cfg.head_dim, 1) if lsh.offload_quant == "none" else 1
+    b = int((hbm_budget - pbytes) // (per_req * pad))
+    return min(max(b, 1), max_b), pbytes, per_req, pad
 
 
 def main():
@@ -80,7 +95,7 @@ def main():
     p.add_argument("--model", type=str, default="llama-3.2-1b")
     p.add_argument("--P", type=int, default=98000)
     p.add_argument("--M", type=int, default=98304)
-    p.add_argument("--G", type=int, default=32, help="timed decode steps")
+    p.add_argument("--G", type=int, default=16, help="timed decode steps")
     p.add_argument("--K", type=int, default=10)
     p.add_argument("--L", type=int, default=150)
     p.add_argument("--B", type=int, default=0,
@@ -88,67 +103,86 @@ def main():
     p.add_argument("--mode", type=str, default="block_topk",
                    choices=["block_topk", "lsh", "full"],
                    help="flagship mode for the headline JSON")
-    p.add_argument("--hbm-gb", type=float, default=13.0,
-                   help="usable HBM budget for max-batch sizing")
+    p.add_argument("--modes", type=str, default="full,block_topk",
+                   help="comma list of modes to measure (add lsh for the "
+                        "reference-exact mode; ~5 min of extra compile)")
+    p.add_argument("--hbm-gb", type=float, default=13.0)
     p.add_argument("--max-batch", type=int, default=8)
-    p.add_argument("--quick", action="store_true",
-                   help="small config for smoke testing")
+    p.add_argument("--baseline-tps", type=float, default=0.0,
+                   help="inject a previously-measured full-attention tok/s")
+    p.add_argument("--attempt-timeout", type=int, default=900)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--worker", type=str, default=None, help=argparse.SUPPRESS)
     args = p.parse_args()
     if args.quick:
         args.P, args.M, args.G = 16000, 16384, 8
         args.max_batch = 2
 
-    import jax
+    if args.worker:
+        worker(args)
+        return
 
-    from magicpig_tpu.config import LSHConfig, preset
+    wanted = args.modes.split(",") + [args.mode]
+    if args.baseline_tps <= 0 and args.mode != "full":
+        wanted.append("full")
+    modes = list(dict.fromkeys(m for m in wanted if m))
 
-    cfg = preset(args.model)
-    budget = args.hbm_gb * 1e9
-
-    modes = {
-        "full": LSHConfig(K=0, L=0),
-        "lsh": LSHConfig(K=args.K, L=args.L, decode_mode="masked"),
-        "block_topk": LSHConfig(K=1, L=0, estimator="block_topk",
-                                offload_quant="int8"),
-    }
-
-    print(f"# bench: {args.model} ctx={args.P} M={args.M} "
-          f"on {jax.devices()}", file=sys.stderr)
+    print(f"# bench: {args.model} ctx={args.P} M={args.M} G={args.G}",
+          file=sys.stderr)
     results = {}
-    for name, lsh in modes.items():
+    for mode in modes:
         if args.B > 0:
             B = args.B
         else:
-            # Analytical sizing is a starting point only: XLA hoists lane-
-            # padded (128/d x) copies of d<128 caches inside the decode scan,
-            # so real usage can be ~2x the state bytes — back off on OOM.
-            B, pbytes, per_req = max_batch(cfg, lsh, args.M, budget)
-            pad = max(128 // cfg.head_dim, 1)
-            B = min(max(B // pad, 1), args.max_batch)
-            print(f"# {name}: params {pbytes/1e9:.2f} GB, state/req "
-                  f"{per_req/1e9:.2f} GB (x{pad} padding) -> B={B}",
+            B, pbytes, per_req, pad = analytic_batch(
+                args.model, mode, args.K, args.L, args.M,
+                args.hbm_gb * 1e9, args.max_batch)
+            print(f"# {mode}: params {pbytes/1e9:.2f} GB, state/req "
+                  f"{per_req/1e9:.2f} GB (pad x{pad}) -> B={B}",
                   file=sys.stderr)
-        while True:
+        while B >= 1:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--worker", mode, "--B", str(B)]
+            for flag, val in (("--model", args.model), ("--P", args.P),
+                              ("--M", args.M), ("--G", args.G),
+                              ("--K", args.K), ("--L", args.L)):
+                cmd += [flag, str(val)]
             try:
-                tps, sparsity = measure(cfg, lsh, B, args.M, args.P, args.G)
-                break
-            except Exception as e:  # noqa: BLE001
-                if "out of memory" not in str(e).lower() or B <= 1:
-                    raise
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=args.attempt_timeout)
+            except subprocess.TimeoutExpired:
+                print(f"# {mode}: B={B} timed out", file=sys.stderr)
                 B -= 1
-                print(f"# {name}: OOM, retrying with B={B}", file=sys.stderr)
-        results[name] = (tps, B, sparsity)
-        print(f"# {name}: B={B} -> {tps:.3f} tok/s/chip "
-              f"(sparsity {sparsity:.4f})", file=sys.stderr)
+                continue
+            line = next((ln for ln in out.stdout.splitlines()
+                         if ln.startswith("WORKER:")), None)
+            if line:
+                r = json.loads(line[len("WORKER:"):])
+                results[mode] = (r["tps"], B, r["sparsity"])
+                print(f"# {mode}: B={B} -> {r['tps']:.3f} tok/s/chip "
+                      f"(sparsity {r['sparsity']:.4f})", file=sys.stderr)
+                break
+            tail = (out.stderr or "")[-400:].replace("\n", " ")
+            print(f"# {mode}: B={B} failed: ...{tail[-200:]}",
+                  file=sys.stderr)
+            B -= 1
+        if mode not in results:
+            print(f"# {mode}: no batch fit", file=sys.stderr)
 
-    flag_tps, flag_b, _ = results[args.mode]
-    base_tps, base_b, _ = results["full"]
+    flag = results.get(args.mode)
+    base_tps = (args.baseline_tps if args.baseline_tps > 0
+                else results.get("full", (0, 0, 0))[0])
+    if flag is None:
+        print(json.dumps({"metric": "decode_throughput", "value": 0,
+                          "unit": "tokens/s/chip", "vs_baseline": 0}))
+        return
     print(json.dumps({
         "metric": (f"decode_throughput_{args.model}_ctx{args.P}_"
                    f"{args.mode}_maxbatch"),
-        "value": round(flag_tps, 3),
+        "value": round(flag[0], 3),
         "unit": "tokens/s/chip",
-        "vs_baseline": round(flag_tps / base_tps, 3),
+        "vs_baseline": round(flag[0] / base_tps, 3) if base_tps else 0,
     }))
 
 

@@ -60,12 +60,13 @@ def exact_scores(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,
                  interpret: bool = False) -> jax.Array:
     """Scaled attention scores for all cached keys.
 
-    q: [B, Hq, d]; k: [B, Hkv, S, d] (bf16, or int8 with per-row f32
-    k_scale [B, Hkv, S]). Returns scores [B, Hkv, G, S] f32 (un-masked; the
-    caller applies length masking).
+    q: [B, Hq, d]; k: [B, Hkv, S, d] or token-folded [B, Hkv, S/fold, 128]
+    (bf16, or int8 with per-row f32 k_scale [B, Hkv, S]). Returns scores
+    [B, Hkv, G, S] f32 (un-masked; the caller applies length masking).
     """
     b, hq, d = q.shape
-    hkv, s = k.shape[1], k.shape[2]
+    hkv = k.shape[1]
+    s = k.shape[2] * k.shape[3] // d   # k may arrive token-folded
     g = hq // hkv
     fold = max(128 // d, 1)
     blk = min(block_tokens, s)

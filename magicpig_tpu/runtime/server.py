@@ -50,6 +50,11 @@ from magicpig_tpu.ops.quant import dequantize_rows, quantize_rows
 from magicpig_tpu.runtime.state import DecodeState, tuple_set
 
 
+def _off_cap(leaf: jax.Array, head_dim: int) -> int:
+    """Offload token capacity of a (possibly token-folded int8) cache leaf."""
+    return leaf.shape[2] * leaf.shape[3] // head_dim
+
+
 def _write_request(buf: jax.Array, val: jax.Array, req: jax.Array):
     """Write `val` into buf[req, ..., :val.shape] (leading-aligned)."""
     idx = (req,) + (0,) * (buf.ndim - 1)
@@ -80,7 +85,7 @@ def _split_offload(state, si, k_full, v_full, true_len, lsh):
     """
     p_pad, hkv, d = k_full.shape
     sink, local = lsh.num_sink_tokens, lsh.num_local_tokens
-    off_cap = state.off_k[si].shape[2]
+    off_cap = _off_cap(state.off_k[si], d)
     off_len = true_len - sink - local
 
     take = min(off_cap, p_pad - sink)
@@ -119,7 +124,7 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
       * topk / oracle_sampling — raw K/V only
     """
     hkv, d = k_full.shape[1], k_full.shape[2]
-    off_cap = state.off_k[si].shape[2]
+    off_cap = _off_cap(state.off_k[si], d)
     off_k, off_v, off_len, hot_k, hot_v = _split_offload(
         state, si, k_full, v_full, true_len, lsh)
 
@@ -167,14 +172,32 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
 
     if lsh.offload_quant == "int8":
         # Per-row symmetric quantization of the offload region (dense layers
-        # and the hot buffer stay exact; see ops.quant).
+        # and the hot buffer stay exact; see ops.quant). Stored token-folded
+        # [Hkv, cap/fold, fold*d] — lane-perfect, no XLA padding (state.py).
         off_k_q, k_scale = quantize_rows(off_k)             # [cap,Hkv,*]
         off_v_q, v_scale = quantize_rows(off_v)
         state = state.replace(
             off_k_scale=wr(state.off_k_scale, si, k_scale),
             off_v_scale=wr(state.off_v_scale, si, v_scale),
         )
-        off_k, off_v = off_k_q, off_v_q
+        rows, lane = state.off_k[si].shape[2], state.off_k[si].shape[3]
+
+        def fold_wr(bufs, i, val):  # val [cap, Hkv, d] -> leaf layout
+            folded = jnp.moveaxis(val, 1, 0).reshape(hkv, rows, lane)
+            return tuple_set(bufs, i,
+                             _write_request(bufs[i], folded, req))
+
+        return state.replace(
+            off_k=fold_wr(state.off_k, si,
+                          off_k_q.astype(state.off_k[si].dtype)),
+            off_v=fold_wr(state.off_v, si,
+                          off_v_q.astype(state.off_v[si].dtype)),
+            hot_k=wr(state.hot_k, si, hot_k),
+            hot_v=wr(state.hot_v, si, hot_v),
+            off_len=state.off_len.at[req].set(off_len),
+            hot_len=state.hot_len.at[req].set(
+                lsh.num_sink_tokens + lsh.num_local_tokens),
+        )
 
     return state.replace(
         off_k=wr(state.off_k, si, off_k.astype(state.off_k[si].dtype)),
@@ -207,11 +230,15 @@ def decode_dense_layer(state: DecodeState, di: int, q: jax.Array,
     return out, state
 
 
-def _off_kv(state: DecodeState, si: int, lsh: LSHConfig, dtype):
+def _off_kv(state: DecodeState, si: int, lsh: LSHConfig, dtype,
+            head_dim: int):
     """Offload K/V for streaming consumers, dequantized lazily when int8
     (XLA fuses the convert+scale into the consuming matmul's read)."""
     k, v = state.off_k[si], state.off_v[si]
     if lsh.offload_quant == "int8":
+        b, hkv = k.shape[0], k.shape[1]
+        k = k.reshape(b, hkv, -1, head_dim)   # unfold (free, row-major)
+        v = v.reshape(b, hkv, -1, head_dim)
         k = dequantize_rows(k, state.off_k_scale[si], dtype)
         v = dequantize_rows(v, state.off_v_scale[si], dtype)
     return k, v
@@ -230,9 +257,9 @@ def _use_pallas(lsh: LSHConfig, head_dim: int) -> bool:
 def _lsh_partial(state, si, q, projections, lsh):
     """LSH-sampled partial over the offload region; returns (out, lse, frac)."""
     b, hq, d = q.shape
-    off_cap = state.off_k[si].shape[2]
+    off_cap = _off_cap(state.off_k[si], d)
     w = state.planes[si].shape[-1]
-    off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16)
+    off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16, d)
 
     if lsh.decode_mode == "masked" and _use_pallas(lsh, d):
         # Fused streaming kernel: bit-plane scan (XLA) + masked+debiased
@@ -281,7 +308,7 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
     "workload" observability metric, `attnserver_dist.py:525-527`).
     """
     b, hq, d = q.shape
-    off_cap = state.off_k[si].shape[2]
+    off_cap = _off_cap(state.off_k[si], d)
 
     if lsh.estimator == "lsh":
         avg = state.avg_k[si]                               # [B,Hkv,d] f32
@@ -301,7 +328,7 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
     elif lsh.estimator == "quest":
         pages = _static_budget(off_cap // lsh.quest_page_size,
                                lsh.quest_budget_frac, floor=1)
-        off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16)
+        off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16, d)
         o_off, lse_off = quest_decode(
             q, off_k, off_v, state.quest_min[si],
             state.quest_max[si], state.off_len, lsh.quest_page_size, pages)
@@ -309,7 +336,7 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
             state.off_len, 1).mean()
     elif lsh.estimator == "topk":
         n = _static_budget(off_cap, lsh.topk_budget_frac)
-        off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16)
+        off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16, d)
         o_off, lse_off = topk_decode(q, off_k, off_v, state.off_len, n)
         frac = n / jnp.maximum(state.off_len, 1).mean()
     elif lsh.estimator == "block_topk":
@@ -318,16 +345,21 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
                                 floor=1)
         quant = lsh.offload_quant == "int8"
         k_scale = state.off_k_scale[si] if quant else None
+        off_k, off_v = state.off_k[si], state.off_v[si]
+        if quant:  # unfold the token-folded storage (free reshape)
+            off_v = off_v.reshape(b, off_v.shape[1], -1, d)
         scores = None
         if (lsh.use_pallas != "off" and q.shape[-1] >= 32
                 and jax.default_backend() not in ("cpu",)):
-            # Pallas scorer: reads the raw (int8) cache once — XLA's einsum
-            # hoists a lane-padded bf16 copy of the whole cache instead.
+            # Pallas scorer: reads the raw (folded int8) cache once — XLA's
+            # einsum hoists a lane-padded bf16 copy of the cache instead.
             from magicpig_tpu.ops.pallas.score import exact_scores
 
-            scores = exact_scores(q, state.off_k[si], k_scale)
+            scores = exact_scores(q, off_k, k_scale)
+        elif quant:
+            off_k = off_k.reshape(b, off_k.shape[1], -1, d)
         o_off, lse_off = block_topk_decode(
-            q, state.off_k[si], state.off_v[si], state.off_len, bs, blocks,
+            q, off_k, off_v, state.off_len, bs, blocks,
             k_scale=k_scale,
             v_scale=state.off_v_scale[si] if quant else None,
             scores=scores)
@@ -336,7 +368,7 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
         n = _static_budget(off_cap, lsh.os_budget_frac)
         key = jax.random.fold_in(jax.random.key(677232254), state.step)
         key = jax.random.fold_in(key, si)
-        off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16)
+        off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16, d)
         o_off, lse_off = oracle_sampling_decode(
             key, q, off_k, off_v, state.off_len, n)
         frac = n / jnp.maximum(state.off_len, 1).mean()

@@ -105,6 +105,12 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
     is_quest = lsh.estimator == "quest" and ns > 0
     quant = lsh.offload_quant == "int8" and ns > 0
     off_dt = jnp.int8 if quant else dt
+    # int8 offload is stored token-FOLDED [.., off_cap/fold, 128]: a
+    # [.., S, d<128] layout gets lane-padded 128/d x by XLA (2x HBM at
+    # d=64); the folded layout is lane-perfect and every int8 consumer
+    # (Pallas scorer, block gathers, dequantize) takes it natively.
+    fold = max(128 // d, 1) if quant else 1
+    off_shape = (b, hkv, off_cap // fold, d * fold)
     n_pages = max(off_cap // lsh.quest_page_size, 1)
 
     return DecodeState(
@@ -114,8 +120,8 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
         hot_k=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
         hot_v=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
         hot_len=jnp.zeros((b,), jnp.int32),
-        off_k=per_layer(ns, (b, hkv, off_cap, d), off_dt),
-        off_v=per_layer(ns, (b, hkv, off_cap, d), off_dt),
+        off_k=per_layer(ns, off_shape, off_dt),
+        off_v=per_layer(ns, off_shape, off_dt),
         off_k_scale=per_layer(ns if quant else 0, (b, hkv, off_cap),
                               jnp.float32),
         off_v_scale=per_layer(ns if quant else 0, (b, hkv, off_cap),
