@@ -163,9 +163,13 @@ def main():
                 print(f"# {mode}: B={B} -> {r['tps']:.3f} tok/s/chip "
                       f"(sparsity {r['sparsity']:.4f})", file=sys.stderr)
                 break
-            tail = (out.stderr or "")[-400:].replace("\n", " ")
-            print(f"# {mode}: B={B} failed: ...{tail[-200:]}",
-                  file=sys.stderr)
+            diag = f"/tmp/bench_worker_{mode}_B{B}.log"
+            with open(diag, "w") as f:
+                f.write(out.stderr or "")
+            lines = [ln for ln in (out.stderr or "").splitlines()
+                     if "Error" in ln or "error" in ln][-2:]
+            print(f"# {mode}: B={B} failed ({'; '.join(lines)[:300]}) "
+                  f"[full log: {diag}]", file=sys.stderr)
             B -= 1
         if mode not in results:
             print(f"# {mode}: no batch fit", file=sys.stderr)

@@ -218,6 +218,10 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     Returns (out [B,Hq,d] f32, lse [B,Hq] f32, sampled [B,Hq] f32 counts).
     """
     s = k_centered.shape[2]
+    # XLA's loop-sliced scan (ops.bitcodes.collision_words) measures FASTER
+    # than the Pallas mask kernel (0.44 vs 0.98 ms/layer at 96K: the
+    # bitwise tree has too little arithmetic parallelism per block to beat
+    # XLA's fusion), so the scan stays XLA and only the attention is Pallas.
     words = collision_words(q_bits, planes)              # [B, Hq, W]
     words = words & valid_words(length, s // 32)[:, None]
     mask = unpack_words(words, s)                        # [B, Hq, S] bool

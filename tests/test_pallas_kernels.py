@@ -102,3 +102,63 @@ def test_exact_scores_kernel(quant, D):
                      preferred_element_type=jnp.float32) / np.sqrt(D)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_collision_words_pallas_matches_xla():
+    from magicpig_tpu.ops.bitcodes import collision_words
+    from magicpig_tpu.ops.pallas.mask import collision_words_pallas
+
+    rng = np.random.default_rng(5)
+    B, HKV, G, L, K, W = 1, 2, 4, 30, 6, 256
+    q_bits = jnp.asarray(rng.integers(0, 2, (B, HKV * G, L, K)), jnp.int32)
+    planes = jnp.asarray(
+        rng.integers(-2**31, 2**31 - 1, (B, HKV, L, K, W)), jnp.int32)
+    want = collision_words(q_bits, planes)
+    got = collision_words_pallas(q_bits, planes, K, L, block_words=128,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("D", [64, 128])
+def test_block_attend_matches_block_topk(quant, D):
+    from magicpig_tpu.ops.baselines import block_topk_decode
+    from magicpig_tpu.ops.pallas.block_attend import block_attend
+    from magicpig_tpu.ops.quant import quantize_rows
+
+    rng = np.random.default_rng(6)
+    B, HKV, G, S, BS, NBP = 1, 2, 4, 1024, 128, 3
+    q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    length = jnp.asarray([900], jnp.int32)
+
+    qh = q.reshape(B, HKV, G, D)
+    scores = jnp.einsum("bhgd,bhsd->bhgs", qh, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(D)
+    valid = (jnp.arange(S)[None, :] < length[:, None])[:, None, None]
+    scores = jnp.where(valid, scores, -jnp.inf)
+    nb = S // BS
+    blk_sc = scores.reshape(B, HKV, G, nb, BS).max(axis=(2, 4))
+    _, blk_ids = jax.lax.top_k(blk_sc, NBP)
+
+    if quant:
+        fold = 128 // D
+        vq, vscale = quantize_rows(v)
+        v_in = vq.reshape(B, HKV, S // fold, 128)
+        vd = (vq.astype(jnp.float32) * vscale[..., None])
+        want, want_lse = block_topk_decode(
+            q, k, vd.astype(jnp.float32), length, BS, NBP, scores=scores)
+        got, got_lse = block_attend(scores, blk_ids, v_in, vscale, BS,
+                                    interpret=True)
+        tol = 2e-2
+    else:
+        want, want_lse = block_topk_decode(q, k, v, length, BS, NBP,
+                                           scores=scores)
+        got, got_lse = block_attend(scores, blk_ids, v, None, BS,
+                                    interpret=True)
+        tol = 3e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse),
+                               rtol=tol, atol=tol)
