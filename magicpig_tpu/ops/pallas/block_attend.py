@@ -1,14 +1,15 @@
 """Pallas attention over top-ranked blocks (the block_topk consumer).
 
-Given precomputed scores and the per-kv-head list of selected block ids,
-attends over exactly those blocks: the block ids ride
-`PrefetchScalarGridSpec`, so the Pallas pipeline DMAs only the selected
-score/V blocks (32 KB granularity) — XLA's gather lowering moves the same
-bytes at ~10 GB/s and dominated the whole decode step.
+Given fold-major scores (`ops.pallas.score.exact_scores_folded`) and the
+per-kv-head list of selected block ids, attends over exactly those blocks:
+the block ids ride `PrefetchScalarGridSpec`, so the Pallas pipeline DMAs
+only the selected score/V blocks (32 KB granularity) — XLA's gather lowering
+moves the same bytes at ~10 GB/s and dominated the whole decode step.
 
-V may be int8 (token-folded layout) with per-token scales; dequantization
-happens in-register. Scores and scales arrive fold-permuted from the XLA
-wrapper (see ops/pallas/decode.py for the folding scheme).
+Everything stays in the fold-major layout (token t -> (f = t % fold,
+R = t // fold)): a block of `block_size` consecutive tokens is a CONTIGUOUS
+row-range in that layout, so no transposes materialize anywhere. V may be
+int8 (token-folded storage) with per-token scales, dequantized in-register.
 """
 
 from __future__ import annotations
@@ -34,10 +35,9 @@ def _kernel(ids_ref, s_ref, v_ref, vs_ref, o_ref, lse_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    g = m_ref.shape[0]
     v = v_ref[0, 0, 0]                                  # [bs/fold, lane]
     for f in range(fold):
-        s = s_ref[0, 0, :, 0, f, :]                     # [G, bs/fold] f32
+        s = s_ref[0, 0, :, f, 0, :]                     # [G, bs/fold] f32
         m_prev = m_ref[:]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -46,8 +46,8 @@ def _kernel(ids_ref, s_ref, v_ref, vs_ref, o_ref, lse_ref,
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         vs = v[:, f * d:(f + 1) * d]                    # [bs/fold, d]
         if quant:
-            # vs_ref is [.., rows, fold] (rows on sublanes) so the per-row
-            # scale is a sublane-major [rows, 1] slice broadcasting over d.
+            # vs_ref is [.., rows, fold] (rows on sublanes): per-row scale
+            # as a sublane-major [rows, 1] slice broadcasting over d.
             scale = vs_ref[0, 0, 0][:, f:f + 1]         # [bs/fold, 1] f32
             vs = (vs.astype(jnp.float32) * scale).astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
@@ -67,7 +67,7 @@ def _kernel(ids_ref, s_ref, v_ref, vs_ref, o_ref, lse_ref,
 
 
 def _is(b, h, j, ids):
-    return (b, h, 0, ids[b, h, j], 0, 0)
+    return (b, h, 0, 0, ids[b, h, j], 0)
 
 
 def _iv(b, h, j, ids):
@@ -83,31 +83,35 @@ def _io(b, h, j, ids):
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
-def block_attend(scores: jax.Array, blk_ids: jax.Array, v: jax.Array,
+def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
                  v_scale: jax.Array | None, block_size: int,
                  interpret: bool = False):
     """Attention over selected blocks.
 
-    scores: [B, Hkv, G, S] f32 (already scaled + length-masked with -inf);
+    scores_folded: [B, Hkv, G, fold, S/fold] f32 (already scaled and
+    length-masked with -inf; see exact_scores_folded);
     blk_ids: [B, Hkv, NB'] int32 selected block indices;
     v: [B, Hkv, S, d] or token-folded [B, Hkv, S/fold, 128] (int8 when
     v_scale [B, Hkv, S] f32 is given).
     Returns (out [B, Hkv*G, d] f32, lse [B, Hkv*G] f32).
     """
-    b, hkv, g, s = scores.shape
+    b, hkv, g, fold, sf = scores_folded.shape
+    s = fold * sf
     nbp = blk_ids.shape[-1]
     quant = v_scale is not None
+    d = v.shape[-1] if v.shape[2] == s else v.shape[-1] * v.shape[2] // s
+    assert fold == max(128 // d, 1), (fold, d)
+    if v.shape[2] == s and fold > 1:   # fold V too (free, row-major view)
+        v = v.reshape(b, hkv, s // fold, fold * d)
     lane = v.shape[-1]
-    d = lane if v.shape[2] == s else lane * v.shape[2] // s
-    fold = lane // d
     nblk = s // block_size
     rows = block_size // fold
 
-    # Fold-permuted views (token t = R*fold + f -> [.., f, R]).
-    s6 = scores.reshape(b, hkv, g, nblk, rows, fold).transpose(
-        0, 1, 2, 3, 5, 4)                                # [B,H,G,NB,fold,rows]
+    # Blocks are contiguous row-ranges of the fold-major layout: view only.
+    s6 = scores_folded.reshape(b, hkv, g, fold, nblk, rows)
     v5 = v.reshape(b, hkv, nblk, rows, lane)
     if quant:
+        # vs5[nb, r, f] = scale of token nb*bs + r*fold + f (pure reshape).
         vs5 = v_scale.astype(jnp.float32).reshape(b, hkv, nblk, rows, fold)
     else:
         vs5 = jnp.zeros((b, hkv, nblk, rows, fold), jnp.float32)
@@ -119,7 +123,7 @@ def block_attend(scores: jax.Array, blk_ids: jax.Array, v: jax.Array,
             num_scalar_prefetch=1,
             grid=(b, hkv, nbp),
             in_specs=[
-                pl.BlockSpec((1, 1, g, 1, fold, rows), _is,
+                pl.BlockSpec((1, 1, g, fold, 1, rows), _is,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 1, rows, lane), _iv,
                              memory_space=pltpu.VMEM),

@@ -55,14 +55,19 @@ def _io(b, h, c):
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_tokens",
                                              "interpret"))
-def exact_scores(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,
-                 sm_scale: float | None = None, block_tokens: int = 8192,
-                 interpret: bool = False) -> jax.Array:
-    """Scaled attention scores for all cached keys.
+def exact_scores_folded(q: jax.Array, k: jax.Array,
+                        k_scale: jax.Array | None,
+                        sm_scale: float | None = None,
+                        block_tokens: int = 8192,
+                        interpret: bool = False) -> jax.Array:
+    """Scaled attention scores in the fold-major layout.
 
     q: [B, Hq, d]; k: [B, Hkv, S, d] or token-folded [B, Hkv, S/fold, 128]
     (bf16, or int8 with per-row f32 k_scale [B, Hkv, S]). Returns scores
-    [B, Hkv, G, S] f32 (un-masked; the caller applies length masking).
+    [B, Hkv, G, fold, S/fold] f32 where token t lives at
+    (f = t %% fold, R = t // fold) — the kernel's native output order, and
+    the layout `block_attend` consumes without any transpose (a transpose of
+    the [B,Hkv,G,S] scores materializes an extra copy per layer).
     """
     b, hq, d = q.shape
     hkv = k.shape[1]
@@ -100,5 +105,18 @@ def exact_scores(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,
                                        jnp.float32),
         interpret=interpret,
     )(qh, k2, scale_f)
-    # fold-permuted -> token order: [B,Hkv,G,fold,S/f] -> [.., S/f, fold]
+    return out
+
+
+def exact_scores(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,
+                 sm_scale: float | None = None, block_tokens: int = 8192,
+                 interpret: bool = False) -> jax.Array:
+    """Token-order scores [B, Hkv, G, S] f32 (transposes the folded output —
+    prefer `exact_scores_folded` in jitted hot paths)."""
+    b, hq, d = q.shape
+    hkv = k.shape[1]
+    s = k.shape[2] * k.shape[3] // d
+    g = hq // hkv
+    out = exact_scores_folded(q, k, k_scale, sm_scale=sm_scale,
+                              block_tokens=block_tokens, interpret=interpret)
     return out.transpose(0, 1, 2, 4, 3).reshape(b, hkv, g, s)

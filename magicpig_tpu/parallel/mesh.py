@@ -30,6 +30,30 @@ def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
     return Mesh(grid, ("data", "model"))
 
 
+def make_multihost_mesh(n_model: int | None = None) -> Mesh:
+    """Mesh spanning all processes of a multi-host run.
+
+    Layout rule (scaling-book recipe): the `model` axis (tensor-parallel
+    heads + their hash/cache shards, all-reduced every layer) stays INSIDE a
+    host's ICI domain; the `data` axis (independent requests, no per-layer
+    collectives) spans hosts over DCN. `jax.distributed.initialize()` must
+    have been called by the launcher. Single-process runs fall back to the
+    local device set.
+    """
+    from jax.experimental import mesh_utils
+
+    n_dev = len(jax.devices())
+    local = max(len(jax.local_devices()), 1)
+    if n_model is None:
+        n_model = min(local, n_dev)
+    assert n_dev % n_model == 0, (n_dev, n_model)
+    grid = mesh_utils.create_device_mesh(
+        (n_dev // n_model, n_model),
+        allow_split_physical_axes=True,
+    )
+    return Mesh(grid, ("data", "model"))
+
+
 def param_pspecs(params: LlamaParams) -> LlamaParams:
     """Megatron TP layout: attention/MLP inner dims on `model`."""
     layer_specs = LayerParams(

@@ -354,16 +354,21 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
             # block_attend DMAs only the selected blocks (XLA's gather moves
             # the same bytes at ~10 GB/s).
             from magicpig_tpu.ops.pallas.block_attend import block_attend
-            from magicpig_tpu.ops.pallas.score import exact_scores
+            from magicpig_tpu.ops.pallas.score import exact_scores_folded
 
             hkv = off_k.shape[1]
             g = hq // hkv
             nb = off_cap // bs
-            scores = exact_scores(q, off_k, k_scale)    # [B,Hkv,G,S]
-            valid = (jnp.arange(off_cap)[None, :]
-                     < state.off_len[:, None])[:, None, None]
+            fold = max(128 // d, 1)
+            # Fold-major everywhere (token t -> (t % fold, t // fold)):
+            # no transposed copies of the [B,Hkv,G,S] scores materialize.
+            scores = exact_scores_folded(q, off_k, k_scale)
+            tok = (jnp.arange(off_cap // fold)[None, :] * fold
+                   + jnp.arange(fold)[:, None])        # [fold, S/fold]
+            valid = (tok[None] < state.off_len[:, None, None])[:, None, None]
             scores = jnp.where(valid, scores, -jnp.inf)
-            blk_sc = scores.reshape(b, hkv, g, nb, bs).max(axis=(2, 4))
+            blk_sc = scores.reshape(
+                b, hkv, g, fold, nb, bs // fold).max(axis=(2, 3, 5))
             _, blk_ids = jax.lax.top_k(blk_sc, min(blocks, nb))
             o_off, lse_off = block_attend(scores, blk_ids, off_v, v_scale,
                                           bs)

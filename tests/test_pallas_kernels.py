@@ -141,21 +141,24 @@ def test_block_attend_matches_block_topk(quant, D):
     nb = S // BS
     blk_sc = scores.reshape(B, HKV, G, nb, BS).max(axis=(2, 4))
     _, blk_ids = jax.lax.top_k(blk_sc, NBP)
+    fold = max(128 // D, 1)
+    # token order -> fold-major layout for the kernel
+    scores_f = scores.reshape(B, HKV, G, S // fold, fold).transpose(
+        0, 1, 2, 4, 3)
 
     if quant:
-        fold = 128 // D
         vq, vscale = quantize_rows(v)
-        v_in = vq.reshape(B, HKV, S // fold, 128)
+        v_in = vq.reshape(B, HKV, S // fold, 128) if fold > 1 else vq
         vd = (vq.astype(jnp.float32) * vscale[..., None])
         want, want_lse = block_topk_decode(
             q, k, vd.astype(jnp.float32), length, BS, NBP, scores=scores)
-        got, got_lse = block_attend(scores, blk_ids, v_in, vscale, BS,
+        got, got_lse = block_attend(scores_f, blk_ids, v_in, vscale, BS,
                                     interpret=True)
         tol = 2e-2
     else:
         want, want_lse = block_topk_decode(q, k, v, length, BS, NBP,
                                            scores=scores)
-        got, got_lse = block_attend(scores, blk_ids, v, None, BS,
+        got, got_lse = block_attend(scores_f, blk_ids, v, None, BS,
                                     interpret=True)
         tol = 3e-3
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),

@@ -47,3 +47,14 @@ def test_sharded_matches_unsharded_decode():
 
     np.testing.assert_allclose(tp_logits, ref_logits, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(tp_step, ref_step, rtol=2e-4, atol=2e-4)
+
+
+def test_multihost_mesh_single_process():
+    """make_multihost_mesh on one process spans all local devices with the
+    model axis inside the host."""
+    from magicpig_tpu.parallel.mesh import make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_model=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+    mesh2 = make_multihost_mesh()
+    assert mesh2.shape["data"] * mesh2.shape["model"] == 8
