@@ -37,7 +37,7 @@ def _kernel(ids_ref, s_ref, v_ref, vs_ref, o_ref, lse_ref,
 
     v = v_ref[0, 0, 0]                                  # [bs/fold, lane]
     for f in range(fold):
-        s = s_ref[0, 0, :, f, 0, :]                     # [G, bs/fold] f32
+        s = s_ref[0, 0, 0, :, f, :]                     # [G, bs/fold] f32
         m_prev = m_ref[:]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -67,7 +67,7 @@ def _kernel(ids_ref, s_ref, v_ref, vs_ref, o_ref, lse_ref,
 
 
 def _is(b, h, j, ids):
-    return (b, h, 0, 0, ids[b, h, j], 0)
+    return (b, h, ids[b, h, j], 0, 0, 0)
 
 
 def _iv(b, h, j, ids):
@@ -83,20 +83,21 @@ def _io(b, h, j, ids):
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
-def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
+def block_attend(scores_blocks: jax.Array, blk_ids: jax.Array, v: jax.Array,
                  v_scale: jax.Array | None, block_size: int,
                  interpret: bool = False):
     """Attention over selected blocks.
 
-    scores_folded: [B, Hkv, G, fold, S/fold] f32 (already scaled and
-    length-masked with -inf; see exact_scores_folded);
+    scores_blocks: [B, Hkv, NB, G, fold, block_size/fold] f32 (already
+    scaled and length-masked with -inf; see exact_scores_blocks);
     blk_ids: [B, Hkv, NB'] int32 selected block indices;
     v: [B, Hkv, S, d] or token-folded [B, Hkv, S/fold, 128] (int8 when
     v_scale [B, Hkv, S] f32 is given).
     Returns (out [B, Hkv*G, d] f32, lse [B, Hkv*G] f32).
     """
-    b, hkv, g, fold, sf = scores_folded.shape
-    s = fold * sf
+    b, hkv, nblk, g, fold, rows = scores_blocks.shape
+    s = nblk * block_size
+    assert rows == block_size // fold
     nbp = blk_ids.shape[-1]
     quant = v_scale is not None
     d = v.shape[-1] if v.shape[2] == s else v.shape[-1] * v.shape[2] // s
@@ -104,11 +105,8 @@ def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
     if v.shape[2] == s and fold > 1:   # fold V too (free, row-major view)
         v = v.reshape(b, hkv, s // fold, fold * d)
     lane = v.shape[-1]
-    nblk = s // block_size
-    rows = block_size // fold
 
-    # Blocks are contiguous row-ranges of the fold-major layout: view only.
-    s6 = scores_folded.reshape(b, hkv, g, fold, nblk, rows)
+    s6 = scores_blocks
     v5 = v.reshape(b, hkv, nblk, rows, lane)
     if quant:
         # vs5[nb, r, f] = scale of token nb*bs + r*fold + f (pure reshape).
@@ -123,7 +121,7 @@ def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
             num_scalar_prefetch=1,
             grid=(b, hkv, nbp),
             in_specs=[
-                pl.BlockSpec((1, 1, g, fold, 1, rows), _is,
+                pl.BlockSpec((1, 1, 1, g, fold, rows), _is,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 1, rows, lane), _iv,
                              memory_space=pltpu.VMEM),

@@ -55,9 +55,10 @@ def _acos(x):
     return jnp.where(x < 0, math.pi - r, r)
 
 
-def _kernel(q_ref, k_ref, v_ref, norm_ref, mask_ref, o_ref, lse_ref, cnt_ref,
-            m_ref, l_ref, acc_ref, c_ref, *, fold: int, d: int, K: int,
-            L: int, sm_scale: float):
+def _kernel(q_ref, k_ref, v_ref, ksc_ref, vsc_ref, norm_ref, mask_ref,
+            o_ref, lse_ref, cnt_ref, m_ref, l_ref, acc_ref, c_ref, *,
+            fold: int, d: int, K: int, L: int, sm_scale: float,
+            quant: bool):
     c = pl.program_id(2)
     nc = pl.num_programs(2)
 
@@ -82,9 +83,14 @@ def _kernel(q_ref, k_ref, v_ref, norm_ref, mask_ref, o_ref, lse_ref, cnt_ref,
     # update is associative anyway.
     for f in range(fold):
         ks = k[:, f * d:(f + 1) * d]                    # [rows, d]
+        if quant:
+            ks = ks.astype(jnp.bfloat16)
         raw = jax.lax.dot_general(
-            q, ks, (((1,), (1,)), ((), ())),
+            q.astype(ks.dtype), ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # [G, rows]
+        if quant:
+            # per-token K scale, fold-major [1, rows] slice
+            raw = raw * ksc_ref[0, 0, f:f + 1, :]
         sel = mask4[:, f, :] > 0                        # [G, rows]
         knorm = norm3[f:f + 1, :]                       # [1, rows]
 
@@ -106,8 +112,11 @@ def _kernel(q_ref, k_ref, v_ref, norm_ref, mask_ref, o_ref, lse_ref, cnt_ref,
         c_ref[:] = c_ref[:] + jnp.sum(sel.astype(jnp.float32), axis=-1,
                                       keepdims=True)
         vs = v[:, f * d:(f + 1) * d]                    # [rows, d]
+        if quant:
+            vscale = vsc_ref[0, 0, 0][:, f:f + 1]       # [rows, 1]
+            vs = (vs.astype(jnp.float32) * vscale).astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), vs, (((1,), (0,)), ((), ())),
+            p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
@@ -144,14 +153,19 @@ def _imask(b, h, c):
 def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
                          k_norm: jax.Array, mask: jax.Array,
                          K: int, L: int, sm_scale: float | None = None,
-                         block_tokens: int = 4096, interpret: bool = False):
+                         block_tokens: int = 4096, interpret: bool = False,
+                         k_scale: jax.Array | None = None,
+                         v_scale: jax.Array | None = None):
     """Streaming masked+debiased attention kernel (stage 2).
 
-    mask: [B, Hq, S] bool/int8 (already length-masked). Other args as in
-    `lsh_fused_decode`. Returns (out, lse, sampled_count).
+    mask: [B, Hq, S] bool/int8 (already length-masked). k_centered/v may be
+    int8 (token-folded [B,Hkv,S/fold,128]) with per-token f32 k_scale/v_scale
+    [B,Hkv,S], dequantized in-register. Other args as in `lsh_fused_decode`.
+    Returns (out, lse, sampled_count).
     """
     b, hq, d = q.shape
-    hkv, s = k_centered.shape[1], k_centered.shape[2]
+    hkv = k_centered.shape[1]
+    s = k_centered.shape[2] * k_centered.shape[3] // d  # may arrive folded
     g = hq // hkv
     fold = max(128 // d, 1)
     blk = min(block_tokens, s)
@@ -159,6 +173,7 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     rows = blk // fold
     lane = 128 if fold > 1 else d
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    quant = k_scale is not None
 
     qh = q.reshape(b, hkv, g, d)
     k2 = k_centered.reshape(b, hkv, s // fold, lane)
@@ -168,9 +183,17 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
         b, hkv, s // fold, fold).transpose(0, 1, 3, 2)   # [B,Hkv,fold,S/f]
     mask_f = mask.astype(jnp.int32).reshape(
         b, hkv, g, s // fold, fold).transpose(0, 1, 2, 4, 3)
+    if quant:
+        ksc_f = k_scale.astype(jnp.float32).reshape(
+            b, hkv, s // fold, fold).transpose(0, 1, 3, 2)
+        vsc_f = v_scale.astype(jnp.float32).reshape(
+            b, hkv, 1, s // fold, fold)  # rows-major for [rows, 1] slices
+    else:
+        ksc_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)
+        vsc_f = jnp.zeros((b, hkv, 1, s // fold, fold), jnp.float32)
 
     kernel = functools.partial(_kernel, fold=fold, d=d, K=K, L=L,
-                               sm_scale=scale)
+                               sm_scale=scale, quant=quant)
     out, lse, cnt = pl.pallas_call(
         kernel,
         grid=(b, hkv, s // blk),
@@ -178,6 +201,11 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
             pl.BlockSpec((1, 1, g, d), _iq, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fold, rows), _inorm,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, rows, fold),
+                         lambda b, h, c: (b, h, 0, c, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, fold, rows), _inorm,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, g, fold, rows), _imask,
@@ -200,7 +228,7 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
             pltpu.VMEM((g, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qh, k2, v2, norm_f, mask_f)
+    )(qh, k2, v2, ksc_f, vsc_f, norm_f, mask_f)
     return (out.reshape(b, hq, d), lse[..., 0].reshape(b, hq),
             cnt[..., 0].reshape(b, hq))
 
@@ -209,7 +237,9 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
                      k_norm: jax.Array, planes: jax.Array,
                      q_bits: jax.Array, length: jax.Array, K: int, L: int,
                      sm_scale: float | None = None,
-                     block_tokens: int = 4096, interpret: bool = False):
+                     block_tokens: int = 4096, interpret: bool = False,
+                     k_scale: jax.Array | None = None,
+                     v_scale: jax.Array | None = None):
     """Full LSH-sampled decode partial: bit-plane collision scan (XLA) +
     streaming masked attention (Pallas).
 
@@ -217,7 +247,7 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     planes: [B, Hkv, L, K, S//32] int32; q_bits: [B, Hq, L, K]; length: [B].
     Returns (out [B,Hq,d] f32, lse [B,Hq] f32, sampled [B,Hq] f32 counts).
     """
-    s = k_centered.shape[2]
+    s = (k_centered.shape[2] * k_centered.shape[3]) // q.shape[-1]
     # XLA's loop-sliced scan (ops.bitcodes.collision_words) measures FASTER
     # than the Pallas mask kernel (0.44 vs 0.98 ms/layer at 96K: the
     # bitwise tree has too little arithmetic parallelism per block to beat
@@ -227,4 +257,5 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     mask = unpack_words(words, s)                        # [B, Hq, S] bool
     return lsh_masked_attention(q, k_centered, v, k_norm, mask, K, L,
                                 sm_scale=sm_scale, block_tokens=block_tokens,
-                                interpret=interpret)
+                                interpret=interpret, k_scale=k_scale,
+                                v_scale=v_scale)

@@ -6,9 +6,13 @@ point: XLA's einsum over an int8 cache hoists a lane-padded bf16 copy of the
 entire cache inside the decode scan — 4x the int8 bytes resident and a 2x
 read; this kernel reads the raw int8 layout once).
 
-Outputs scores in fold-permuted order [B, Hkv, G, fold, S/fold] (see
-ops/pallas/decode.py for the token-folding scheme); the XLA wrapper
-transposes back to token order — a few MB, negligible.
+Output layout is BLOCK-MAJOR: [B, Hkv, NB, G, fold, rows] with
+NB = S/block_size, rows = block_size/fold, token t of block nb at
+(f = t % fold, r = (t % block_size) // fold). Downstream `block_attend`
+indexes the NB dim with scalar-prefetched block ids (Mosaic requires the
+last two block-spec dims to match the array dims, so the gathered dim must
+lead), and the block ranking is a plain reduce — no transposed copies of the
+[B,Hkv,G,S] scores ever materialize.
 """
 
 from __future__ import annotations
@@ -22,11 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, scale_ref, o_ref, *, fold: int, d: int,
-            sm_scale: float, quant: bool):
+            sm_scale: float, quant: bool, nbb: int, rows_b: int):
     q = q_ref[0, 0]                                     # [G, d]
     k = k_ref[0, 0]                                     # [rows, lane]
     for f in range(fold):
-        ks = k[:, f * d:(f + 1) * d]                    # [rows, d] (int8/bf16)
+        ks = k[:, f * d:(f + 1) * d]                    # [rows, d]
         raw = jax.lax.dot_general(
             q, ks.astype(jnp.bfloat16) if quant else ks,
             (((1,), (1,)), ((), ())),
@@ -34,7 +38,8 @@ def _kernel(q_ref, k_ref, scale_ref, o_ref, *, fold: int, d: int,
         s = raw * sm_scale
         if quant:
             s = s * scale_ref[0, 0, f:f + 1, :]         # [1, rows] bcast
-        o_ref[0, 0, :, f, :] = s
+        for sb in range(nbb):                           # per 128-token block
+            o_ref[0, 0, sb, :, f, :] = s[:, sb * rows_b:(sb + 1) * rows_b]
 
 
 def _iq(b, h, c):
@@ -50,33 +55,33 @@ def _isc(b, h, c):
 
 
 def _io(b, h, c):
-    return (b, h, 0, 0, c)
+    return (b, h, c, 0, 0, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "block_tokens",
-                                             "interpret"))
-def exact_scores_folded(q: jax.Array, k: jax.Array,
-                        k_scale: jax.Array | None,
+@functools.partial(jax.jit, static_argnames=("block_size", "sm_scale",
+                                             "block_tokens", "interpret"))
+def exact_scores_blocks(q: jax.Array, k: jax.Array,
+                        k_scale: jax.Array | None, block_size: int = 128,
                         sm_scale: float | None = None,
-                        block_tokens: int = 8192,
+                        block_tokens: int = 4096,
                         interpret: bool = False) -> jax.Array:
-    """Scaled attention scores in the fold-major layout.
+    """Scaled attention scores in block-major layout (module docstring).
 
     q: [B, Hq, d]; k: [B, Hkv, S, d] or token-folded [B, Hkv, S/fold, 128]
-    (bf16, or int8 with per-row f32 k_scale [B, Hkv, S]). Returns scores
-    [B, Hkv, G, fold, S/fold] f32 where token t lives at
-    (f = t %% fold, R = t // fold) — the kernel's native output order, and
-    the layout `block_attend` consumes without any transpose (a transpose of
-    the [B,Hkv,G,S] scores materializes an extra copy per layer).
+    (bf16, or int8 with per-row f32 k_scale [B, Hkv, S]).
+    Returns [B, Hkv, S/block_size, G, fold, block_size/fold] f32 (un-masked).
     """
     b, hq, d = q.shape
     hkv = k.shape[1]
-    s = k.shape[2] * k.shape[3] // d   # k may arrive token-folded
+    s = k.shape[2] * k.shape[3] // d
     g = hq // hkv
     fold = max(128 // d, 1)
     blk = min(block_tokens, s)
-    assert s % blk == 0 and blk % (fold * 32) == 0, (s, blk, fold)
+    assert s % blk == 0 and blk % (fold * 32) == 0 and blk % block_size == 0
     rows = blk // fold
+    rows_b = block_size // fold
+    nbb = blk // block_size
+    nblk = s // block_size
     lane = 128 if fold > 1 else d
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     quant = k_scale is not None
@@ -90,7 +95,7 @@ def exact_scores_folded(q: jax.Array, k: jax.Array,
         scale_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)
 
     kernel = functools.partial(_kernel, fold=fold, d=d, sm_scale=scale,
-                               quant=quant)
+                               quant=quant, nbb=nbb, rows_b=rows_b)
     out = pl.pallas_call(
         kernel,
         grid=(b, hkv, s // blk),
@@ -99,9 +104,9 @@ def exact_scores_folded(q: jax.Array, k: jax.Array,
             pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, fold, rows), _isc, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, fold, rows), _io,
+        out_specs=pl.BlockSpec((1, 1, nbb, g, fold, rows_b), _io,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, fold, s // fold),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, nblk, g, fold, rows_b),
                                        jnp.float32),
         interpret=interpret,
     )(qh, k2, scale_f)
@@ -109,14 +114,17 @@ def exact_scores_folded(q: jax.Array, k: jax.Array,
 
 
 def exact_scores(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,
-                 sm_scale: float | None = None, block_tokens: int = 8192,
+                 sm_scale: float | None = None, block_tokens: int = 4096,
                  interpret: bool = False) -> jax.Array:
-    """Token-order scores [B, Hkv, G, S] f32 (transposes the folded output —
-    prefer `exact_scores_folded` in jitted hot paths)."""
+    """Token-order scores [B, Hkv, G, S] f32 (reorders the block-major
+    output — prefer `exact_scores_blocks` in jitted hot paths)."""
     b, hq, d = q.shape
     hkv = k.shape[1]
     s = k.shape[2] * k.shape[3] // d
     g = hq // hkv
-    out = exact_scores_folded(q, k, k_scale, sm_scale=sm_scale,
-                              block_tokens=block_tokens, interpret=interpret)
-    return out.transpose(0, 1, 2, 4, 3).reshape(b, hkv, g, s)
+    out = exact_scores_blocks(q, k, k_scale, block_size=128,
+                              sm_scale=sm_scale, block_tokens=block_tokens,
+                              interpret=interpret)
+    # [B,Hkv,NB,G,fold,rows_b] -> token order: t = nb*bs + r*fold + f
+    out = out.transpose(0, 1, 3, 2, 5, 4)           # [B,Hkv,G,NB,rows_b,fold]
+    return out.reshape(b, hkv, g, s)

@@ -245,7 +245,7 @@ def _off_kv(state: DecodeState, si: int, lsh: LSHConfig, dtype,
 
 
 def _use_pallas(lsh: LSHConfig, head_dim: int) -> bool:
-    if lsh.use_pallas == "off" or lsh.offload_quant != "none":
+    if lsh.use_pallas == "off":
         return False
     if lsh.use_pallas == "on":
         return True
@@ -263,13 +263,19 @@ def _lsh_partial(state, si, q, projections, lsh):
 
     if lsh.decode_mode == "masked" and _use_pallas(lsh, d):
         # Fused streaming kernel: bit-plane scan (XLA) + masked+debiased
-        # attention (Pallas), see ops/pallas/lsh_decode.py.
+        # attention (Pallas), see ops/pallas/lsh_decode.py. With int8
+        # offload, pass the raw folded cache + scales (in-register dequant).
         from magicpig_tpu.ops.pallas.lsh_decode import lsh_fused_decode
 
+        quant = lsh.offload_quant == "int8"
+        kk = state.off_k[si] if quant else off_k
+        vv = state.off_v[si] if quant else off_v
         q_bits = hash_bits(q, projections, lsh.K)
         out, lse, cnt = lsh_fused_decode(
-            q, off_k, off_v, state.k_norm[si], state.planes[si], q_bits,
-            state.off_len, lsh.K, lsh.L)
+            q, kk, vv, state.k_norm[si], state.planes[si], q_bits,
+            state.off_len, lsh.K, lsh.L,
+            k_scale=state.off_k_scale[si] if quant else None,
+            v_scale=state.off_v_scale[si] if quant else None)
         frac = cnt.sum() / jnp.maximum(state.off_len.sum() * hq, 1)
         return out, lse, frac
 
@@ -354,21 +360,23 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
             # block_attend DMAs only the selected blocks (XLA's gather moves
             # the same bytes at ~10 GB/s).
             from magicpig_tpu.ops.pallas.block_attend import block_attend
-            from magicpig_tpu.ops.pallas.score import exact_scores_folded
+            from magicpig_tpu.ops.pallas.score import exact_scores_blocks
 
             hkv = off_k.shape[1]
             g = hq // hkv
             nb = off_cap // bs
             fold = max(128 // d, 1)
-            # Fold-major everywhere (token t -> (t % fold, t // fold)):
-            # no transposed copies of the [B,Hkv,G,S] scores materialize.
-            scores = exact_scores_folded(q, off_k, k_scale)
-            tok = (jnp.arange(off_cap // fold)[None, :] * fold
-                   + jnp.arange(fold)[:, None])        # [fold, S/fold]
-            valid = (tok[None] < state.off_len[:, None, None])[:, None, None]
+            # Block-major scores (token t of block nb at (t % fold,
+            # (t % bs) // fold)): the layout the scorer emits natively and
+            # block_attend gathers from — no transposed copies materialize.
+            scores = exact_scores_blocks(q, off_k, k_scale, block_size=bs)
+            tok = (jnp.arange(nb)[:, None, None] * bs
+                   + jnp.arange(bs // fold)[None, None, :] * fold
+                   + jnp.arange(fold)[None, :, None])  # [nb, fold, rows]
+            valid = (tok[None, None, :, None]
+                     < state.off_len[:, None, None, None, None, None])
             scores = jnp.where(valid, scores, -jnp.inf)
-            blk_sc = scores.reshape(
-                b, hkv, g, fold, nb, bs // fold).max(axis=(2, 3, 5))
+            blk_sc = scores.max(axis=(3, 4, 5))        # [B,Hkv,nb]
             _, blk_ids = jax.lax.top_k(blk_sc, min(blocks, nb))
             o_off, lse_off = block_attend(scores, blk_ids, off_v, v_scale,
                                           bs)

@@ -142,9 +142,9 @@ def test_block_attend_matches_block_topk(quant, D):
     blk_sc = scores.reshape(B, HKV, G, nb, BS).max(axis=(2, 4))
     _, blk_ids = jax.lax.top_k(blk_sc, NBP)
     fold = max(128 // D, 1)
-    # token order -> fold-major layout for the kernel
-    scores_f = scores.reshape(B, HKV, G, S // fold, fold).transpose(
-        0, 1, 2, 4, 3)
+    # token order -> block-major layout for the kernel
+    scores_f = scores.reshape(B, HKV, G, nb, BS // fold, fold).transpose(
+        0, 1, 3, 2, 5, 4)
 
     if quant:
         vq, vscale = quantize_rows(v)
@@ -165,3 +165,39 @@ def test_block_attend_matches_block_topk(quant, D):
                                rtol=tol, atol=tol)
     np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse),
                                rtol=tol, atol=tol)
+
+
+def test_lsh_fused_int8_matches_dequant_oracle():
+    from magicpig_tpu.ops.pallas.lsh_decode import lsh_fused_decode
+    from magicpig_tpu.ops.quant import quantize_rows, dequantize_rows
+
+    rng = np.random.default_rng(9)
+    B, HKV, G, S, D, K, L = 1, 2, 4, 512, 64, 6, 20
+    HQ = HKV * G
+    q = jnp.asarray(rng.standard_normal((B, HQ, D)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    kq, ks = quantize_rows(kc)
+    vq, vs = quantize_rows(vc)
+    kd = dequantize_rows(kq, ks, jnp.float32)
+    vd = dequantize_rows(vq, vs, jnp.float32)
+    knorm = jnp.linalg.norm(kd, axis=-1)
+    proj = make_hash_projections(jax.random.key(1), D, K, L)
+    planes = jax.vmap(lambda kb: build_planes(
+        kb.transpose(1, 0, 2), proj, K, chunk=64))(kd)
+    qb = hash_bits(q, proj, K)
+    length = jnp.asarray([450], jnp.int32)
+
+    # oracle: dequantized bf16-ish path through the same fused op
+    o1, l1, c1 = lsh_fused_decode(q, kd, vd, knorm, planes, qb, length,
+                                  K, L, block_tokens=128, interpret=True)
+    fold = 128 // D
+    o2, l2, c2 = lsh_fused_decode(
+        q, kq.reshape(B, HKV, S // fold, 128),
+        vq.reshape(B, HKV, S // fold, 128), knorm, planes, qb, length,
+        K, L, block_tokens=128, interpret=True, k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
