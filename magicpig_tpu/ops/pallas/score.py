@@ -6,13 +6,13 @@ point: XLA's einsum over an int8 cache hoists a lane-padded bf16 copy of the
 entire cache inside the decode scan — 4x the int8 bytes resident and a 2x
 read; this kernel reads the raw int8 layout once).
 
-Output layout is BLOCK-MAJOR: [B, Hkv, NB, G, fold, rows] with
-NB = S/block_size, rows = block_size/fold, token t of block nb at
-(f = t % fold, r = (t % block_size) // fold). Downstream `block_attend`
-indexes the NB dim with scalar-prefetched block ids (Mosaic requires the
-last two block-spec dims to match the array dims, so the gathered dim must
-lead), and the block ranking is a plain reduce — no transposed copies of the
-[B,Hkv,G,S] scores ever materialize.
+Output layout is BLOCK-MAJOR: [B, Hkv, NB, G, block_size] with
+NB = S/block_size; lane l of block nb holds token nb*block_size +
+(l %% rows)*fold + l//rows  (rows = block_size/fold) — i.e. fold-major
+within the block, merged into one 128-lane dim so gathered DMAs stay
+tile-aligned. Downstream `block_attend` indexes the NB dim with
+scalar-prefetched block ids, and the block ranking is a plain reduce — no
+transposed copies of the [B,Hkv,G,S] scores ever materialize.
 """
 
 from __future__ import annotations
@@ -39,7 +39,8 @@ def _kernel(q_ref, k_ref, scale_ref, o_ref, *, fold: int, d: int,
         if quant:
             s = s * scale_ref[0, 0, f:f + 1, :]         # [1, rows] bcast
         for sb in range(nbb):                           # per 128-token block
-            o_ref[0, 0, sb, :, f, :] = s[:, sb * rows_b:(sb + 1) * rows_b]
+            o_ref[0, 0, sb, :, f * rows_b:(f + 1) * rows_b] = (
+                s[:, sb * rows_b:(sb + 1) * rows_b])
 
 
 def _iq(b, h, c):
@@ -55,7 +56,7 @@ def _isc(b, h, c):
 
 
 def _io(b, h, c):
-    return (b, h, c, 0, 0, 0)
+    return (b, h, c, 0, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "sm_scale",
@@ -63,13 +64,14 @@ def _io(b, h, c):
 def exact_scores_blocks(q: jax.Array, k: jax.Array,
                         k_scale: jax.Array | None, block_size: int = 128,
                         sm_scale: float | None = None,
-                        block_tokens: int = 4096,
+                        block_tokens: int = 16384,
                         interpret: bool = False) -> jax.Array:
     """Scaled attention scores in block-major layout (module docstring).
 
     q: [B, Hq, d]; k: [B, Hkv, S, d] or token-folded [B, Hkv, S/fold, 128]
     (bf16, or int8 with per-row f32 k_scale [B, Hkv, S]).
-    Returns [B, Hkv, S/block_size, G, fold, block_size/fold] f32 (un-masked).
+    Returns [B, Hkv, S/block_size, G, block_size] f32 (un-masked;
+    lane order: see module docstring).
     """
     b, hq, d = q.shape
     hkv = k.shape[1]
@@ -104,9 +106,9 @@ def exact_scores_blocks(q: jax.Array, k: jax.Array,
             pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, fold, rows), _isc, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, nbb, g, fold, rows_b), _io,
+        out_specs=pl.BlockSpec((1, 1, nbb, g, block_size), _io,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, nblk, g, fold, rows_b),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, nblk, g, block_size),
                                        jnp.float32),
         interpret=interpret,
     )(qh, k2, scale_f)
@@ -114,7 +116,7 @@ def exact_scores_blocks(q: jax.Array, k: jax.Array,
 
 
 def exact_scores(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,
-                 sm_scale: float | None = None, block_tokens: int = 4096,
+                 sm_scale: float | None = None, block_tokens: int = 16384,
                  interpret: bool = False) -> jax.Array:
     """Token-order scores [B, Hkv, G, S] f32 (reorders the block-major
     output — prefer `exact_scores_blocks` in jitted hot paths)."""
@@ -125,6 +127,9 @@ def exact_scores(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,
     out = exact_scores_blocks(q, k, k_scale, block_size=128,
                               sm_scale=sm_scale, block_tokens=block_tokens,
                               interpret=interpret)
-    # [B,Hkv,NB,G,fold,rows_b] -> token order: t = nb*bs + r*fold + f
+    # [B,Hkv,NB,G,128] (lane = f*rows + r) -> token order t = r*fold + f
+    fold = max(128 // d, 1)
+    rows_b = 128 // fold
+    out = out.reshape(b, hkv, -1, g, fold, rows_b)
     out = out.transpose(0, 1, 3, 2, 5, 4)           # [B,Hkv,G,NB,rows_b,fold]
     return out.reshape(b, hkv, g, s)

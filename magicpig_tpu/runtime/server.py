@@ -366,17 +366,19 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
             g = hq // hkv
             nb = off_cap // bs
             fold = max(128 // d, 1)
-            # Block-major scores (token t of block nb at (t % fold,
-            # (t % bs) // fold)): the layout the scorer emits natively and
-            # block_attend gathers from — no transposed copies materialize.
+            # Block-major scores ([B,Hkv,NB,G,bs]; lane l of block nb is
+            # token nb*bs + (l % rows)*fold + l//rows): the layout the
+            # scorer emits natively and block_attend gathers from — no
+            # transposed score copies materialize.
             scores = exact_scores_blocks(q, off_k, k_scale, block_size=bs)
-            tok = (jnp.arange(nb)[:, None, None] * bs
-                   + jnp.arange(bs // fold)[None, None, :] * fold
-                   + jnp.arange(fold)[None, :, None])  # [nb, fold, rows]
-            valid = (tok[None, None, :, None]
-                     < state.off_len[:, None, None, None, None, None])
-            scores = jnp.where(valid, scores, -jnp.inf)
-            blk_sc = scores.max(axis=(3, 4, 5))        # [B,Hkv,nb]
+            rows = bs // fold
+            lane = jnp.arange(bs)
+            tok = (jnp.arange(nb)[:, None] * bs
+                   + (lane % rows) * fold + lane // rows)   # [nb, bs]
+            valid = (tok[None, :, None]
+                     < state.off_len[:, None, None, None])  # [B,nb,1,bs]
+            scores = jnp.where(valid[:, None], scores, -jnp.inf)
+            blk_sc = scores.max(axis=(3, 4))            # [B,Hkv,nb]
             _, blk_ids = jax.lax.top_k(blk_sc, min(blocks, nb))
             o_off, lse_off = block_attend(scores, blk_ids, off_v, v_scale,
                                           bs)

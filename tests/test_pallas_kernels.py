@@ -142,9 +142,9 @@ def test_block_attend_matches_block_topk(quant, D):
     blk_sc = scores.reshape(B, HKV, G, nb, BS).max(axis=(2, 4))
     _, blk_ids = jax.lax.top_k(blk_sc, NBP)
     fold = max(128 // D, 1)
-    # token order -> block-major layout for the kernel
+    # token order -> block-major merged-lane layout (lane = f*rows + r)
     scores_f = scores.reshape(B, HKV, G, nb, BS // fold, fold).transpose(
-        0, 1, 3, 2, 5, 4)
+        0, 1, 3, 2, 5, 4).reshape(B, HKV, nb, G, BS)
 
     if quant:
         vq, vscale = quantize_rows(v)
