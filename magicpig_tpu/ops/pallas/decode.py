@@ -115,14 +115,15 @@ def _index_o(b, h, c, lens):
                    static_argnames=("sm_scale", "block_tokens", "interpret"))
 def flash_decode(q: jax.Array, k: jax.Array, v: jax.Array,  # noqa: F811
                  length: jax.Array, sm_scale: float | None = None,
-                 block_tokens: int = 2048, interpret: bool = False):
+                 block_tokens: int = 8192, interpret: bool = False):
     """Dense decode attention over a cache prefix (see module docstring).
 
     q: [B, Hq, d]; k, v: [B, Hkv, S, d]; length: [B].
     Returns (out [B, Hq, d] f32, lse [B, Hq] f32).
     """
     b, hq, d = q.shape
-    hkv, s = k.shape[1], k.shape[2]
+    hkv = k.shape[1]
+    s = k.shape[2] * k.shape[3] // d   # k may arrive token-folded
     g = hq // hkv
     fold = max(128 // d, 1)
     blk = min(block_tokens, s)

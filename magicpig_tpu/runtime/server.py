@@ -65,14 +65,22 @@ def fill_dense_layer(state: DecodeState, di: int, req: jax.Array,
                      k_full: jax.Array, v_full: jax.Array,
                      true_len: jax.Array) -> DecodeState:
     """Store the full prefill K/V for a dense layer (reference
-    `attnserver.py:119-123`). k_full/v_full: [P_pad, Hkv, d] seq-major."""
-    kc = k_full.transpose(1, 0, 2)  # [Hkv, P_pad, d]
-    vc = v_full.transpose(1, 0, 2)
+    `attnserver.py:119-123`). k_full/v_full: [P_pad, Hkv, d] seq-major.
+    Dense caches are token-folded [Hkv, cap/fold, d*fold] (state.py)."""
+    p_pad, hkv, d = k_full.shape
+    rows, lane = state.dense_k[di].shape[2], state.dense_k[di].shape[3]
+    fold = lane // d
+
+    def fold_wr(bufs, val):  # val [P_pad, Hkv, d]
+        folded = val.transpose(1, 0, 2).reshape(hkv, p_pad // fold, lane)
+        leaf = bufs[di]
+        full = jnp.zeros(leaf.shape[1:], folded.dtype)
+        full = jax.lax.dynamic_update_slice(full, folded, (0, 0, 0))
+        return tuple_set(bufs, di, _write_request(leaf, full, req))
+
     return state.replace(
-        dense_k=tuple_set(state.dense_k, di,
-                          _write_request(state.dense_k[di], kc, req)),
-        dense_v=tuple_set(state.dense_v, di,
-                          _write_request(state.dense_v[di], vc, req)),
+        dense_k=fold_wr(state.dense_k, k_full),
+        dense_v=fold_wr(state.dense_v, v_full),
         dense_len=state.dense_len.at[req].set(true_len),
     )
 
@@ -172,36 +180,25 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
 
     if lsh.offload_quant == "int8":
         # Per-row symmetric quantization of the offload region (dense layers
-        # and the hot buffer stay exact; see ops.quant). Stored token-folded
-        # [Hkv, cap/fold, fold*d] — lane-perfect, no XLA padding (state.py).
-        off_k_q, k_scale = quantize_rows(off_k)             # [cap,Hkv,*]
-        off_v_q, v_scale = quantize_rows(off_v)
+        # and the hot buffer stay exact; see ops.quant).
+        off_k, k_scale = quantize_rows(off_k)               # [cap,Hkv,*]
+        off_v, v_scale = quantize_rows(off_v)
         state = state.replace(
             off_k_scale=wr(state.off_k_scale, si, k_scale),
             off_v_scale=wr(state.off_v_scale, si, v_scale),
         )
-        rows, lane = state.off_k[si].shape[2], state.off_k[si].shape[3]
 
-        def fold_wr(bufs, i, val):  # val [cap, Hkv, d] -> leaf layout
-            folded = jnp.moveaxis(val, 1, 0).reshape(hkv, rows, lane)
-            return tuple_set(bufs, i,
-                             _write_request(bufs[i], folded, req))
+    # Offload caches are stored token-folded (state.py).
+    rows, lane = state.off_k[si].shape[2], state.off_k[si].shape[3]
 
-        return state.replace(
-            off_k=fold_wr(state.off_k, si,
-                          off_k_q.astype(state.off_k[si].dtype)),
-            off_v=fold_wr(state.off_v, si,
-                          off_v_q.astype(state.off_v[si].dtype)),
-            hot_k=wr(state.hot_k, si, hot_k),
-            hot_v=wr(state.hot_v, si, hot_v),
-            off_len=state.off_len.at[req].set(off_len),
-            hot_len=state.hot_len.at[req].set(
-                lsh.num_sink_tokens + lsh.num_local_tokens),
-        )
+    def fold_wr(bufs, i, val):  # val [cap, Hkv, d] -> folded leaf layout
+        folded = jnp.moveaxis(val.astype(bufs[i].dtype), 1, 0).reshape(
+            hkv, rows, lane)
+        return tuple_set(bufs, i, _write_request(bufs[i], folded, req))
 
     return state.replace(
-        off_k=wr(state.off_k, si, off_k.astype(state.off_k[si].dtype)),
-        off_v=wr(state.off_v, si, off_v.astype(state.off_v[si].dtype)),
+        off_k=fold_wr(state.off_k, si, off_k),
+        off_v=fold_wr(state.off_v, si, off_v),
         hot_k=wr(state.hot_k, si, hot_k),
         hot_v=wr(state.hot_v, si, hot_v),
         off_len=state.off_len.at[req].set(off_len),
@@ -218,27 +215,55 @@ def _append_per_request(cache: jax.Array, new: jax.Array,
     return jax.vmap(one)(cache, new, lens)
 
 
+def _append_folded(cache: jax.Array, new: jax.Array, lens: jax.Array,
+                   d: int) -> jax.Array:
+    """Append one token per request into a token-folded cache.
+
+    cache: [B, Hkv, cap/fold, d*fold]; new: [B, Hkv, d]; lens: [B] write
+    positions (token index t -> row t//fold, lanes (t%fold)*d..).
+    """
+    fold = cache.shape[-1] // d
+
+    def one(c, n, t):
+        return jax.lax.dynamic_update_slice(
+            c, n[:, None, :], (0, t // fold, (t % fold) * d))
+
+    return jax.vmap(one)(cache, new, lens)
+
+
 def decode_dense_layer(state: DecodeState, di: int, q: jax.Array,
                        k_new: jax.Array, v_new: jax.Array):
     """Append + full attention over the whole prefix (reference
     `attnserver.py:235-259`). q: [B,Hq,d]; k/v_new: [B,Hkv,d]."""
-    dense_k = _append_per_request(state.dense_k[di], k_new, state.dense_len)
-    dense_v = _append_per_request(state.dense_v[di], v_new, state.dense_len)
+    b, hq, d = q.shape
+    dense_k = _append_folded(state.dense_k[di], k_new, state.dense_len, d)
+    dense_v = _append_folded(state.dense_v[di], v_new, state.dense_len, d)
     state = state.replace(dense_k=tuple_set(state.dense_k, di, dense_k),
                           dense_v=tuple_set(state.dense_v, di, dense_v))
-    out, _ = full_decode(q, dense_k, dense_v, state.dense_len + 1)
+    if jax.default_backend() not in ("cpu",) and d < 128:
+        # Pallas flash-decode reads the folded layout natively; the XLA
+        # einsum would hoist a lane-padded 2x copy of the cache per step.
+        from magicpig_tpu.ops.pallas.decode import flash_decode
+
+        out, _ = flash_decode(q, dense_k, dense_v, state.dense_len + 1)
+    else:
+        hkv = dense_k.shape[1]
+        ku = dense_k.reshape(b, hkv, -1, d)
+        vu = dense_v.reshape(b, hkv, -1, d)
+        out, _ = full_decode(q, ku, vu, state.dense_len + 1)
     return out, state
 
 
 def _off_kv(state: DecodeState, si: int, lsh: LSHConfig, dtype,
             head_dim: int):
-    """Offload K/V for streaming consumers, dequantized lazily when int8
-    (XLA fuses the convert+scale into the consuming matmul's read)."""
+    """Offload K/V unfolded to [B, Hkv, S, d] for the pure-XLA consumers
+    (oracle paths), dequantized when int8. The Pallas fast paths read the
+    folded storage directly instead."""
     k, v = state.off_k[si], state.off_v[si]
+    b, hkv = k.shape[0], k.shape[1]
+    k = k.reshape(b, hkv, -1, head_dim)       # unfold (row-major view)
+    v = v.reshape(b, hkv, -1, head_dim)
     if lsh.offload_quant == "int8":
-        b, hkv = k.shape[0], k.shape[1]
-        k = k.reshape(b, hkv, -1, head_dim)   # unfold (free, row-major)
-        v = v.reshape(b, hkv, -1, head_dim)
         k = dequantize_rows(k, state.off_k_scale[si], dtype)
         v = dequantize_rows(v, state.off_v_scale[si], dtype)
     return k, v
@@ -268,8 +293,7 @@ def _lsh_partial(state, si, q, projections, lsh):
         from magicpig_tpu.ops.pallas.lsh_decode import lsh_fused_decode
 
         quant = lsh.offload_quant == "int8"
-        kk = state.off_k[si] if quant else off_k
-        vv = state.off_v[si] if quant else off_v
+        kk, vv = state.off_k[si], state.off_v[si]   # folded storage
         q_bits = hash_bits(q, projections, lsh.K)
         out, lse, cnt = lsh_fused_decode(
             q, kk, vv, state.k_norm[si], state.planes[si], q_bits,
@@ -383,9 +407,8 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
             o_off, lse_off = block_attend(scores, blk_ids, off_v, v_scale,
                                           bs)
         else:
-            if quant:  # unfold the token-folded storage (free reshape)
-                off_k = off_k.reshape(b, off_k.shape[1], -1, d)
-                off_v = off_v.reshape(b, off_v.shape[1], -1, d)
+            off_k = off_k.reshape(b, off_k.shape[1], -1, d)  # unfold
+            off_v = off_v.reshape(b, off_v.shape[1], -1, d)
             o_off, lse_off = block_topk_decode(
                 q, off_k, off_v, state.off_len, bs, blocks,
                 k_scale=k_scale, v_scale=v_scale)

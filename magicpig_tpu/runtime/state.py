@@ -40,7 +40,10 @@ ArrayTuple = tuple[jax.Array, ...]
 class DecodeState:
     """All attention-server state for one engine instance."""
 
-    # Dense (full-attention) layers: per-layer [B, Hkv, max_len, d]
+    # Dense (full-attention) layers: per-layer token-folded
+    # [B, Hkv, max_len/fold, d*fold] (fold = 128/d; a [.., S, d<128] layout
+    # is lane-padded 128/d x by XLA and its decode consumers hoist padded
+    # copies — folded storage is lane-perfect)
     dense_k: ArrayTuple
     dense_v: ArrayTuple
     dense_len: jax.Array      # [B] i32 — valid tokens per request
@@ -105,17 +108,21 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
     is_quest = lsh.estimator == "quest" and ns > 0
     quant = lsh.offload_quant == "int8" and ns > 0
     off_dt = jnp.int8 if quant else dt
-    # int8 offload is stored token-FOLDED [.., off_cap/fold, 128]: a
-    # [.., S, d<128] layout gets lane-padded 128/d x by XLA (2x HBM at
-    # d=64); the folded layout is lane-perfect and every int8 consumer
-    # (Pallas scorer, block gathers, dequantize) takes it natively.
-    fold = max(128 // d, 1) if quant else 1
+    # The offload cache is stored token-FOLDED [.., off_cap/fold, 128]
+    # regardless of dtype: a [.., S, d<128] layout gets lane-padded 128/d x
+    # by XLA (2x HBM at d=64) AND its Pallas consumers' reshape views then
+    # materialize unpadded copies. The folded layout is lane-perfect and the
+    # streaming kernels take it natively.
+    fold = max(128 // d, 1)
     off_shape = (b, hkv, off_cap // fold, d * fold)
+    dfold = max(128 // d, 1)
+    assert max_length % dfold == 0
+    dense_shape = (b, hkv, max_length // dfold, d * dfold)
     n_pages = max(off_cap // lsh.quest_page_size, 1)
 
     return DecodeState(
-        dense_k=per_layer(nd, (b, hkv, max_length, d), dt),
-        dense_v=per_layer(nd, (b, hkv, max_length, d), dt),
+        dense_k=per_layer(nd, dense_shape, dt),
+        dense_v=per_layer(nd, dense_shape, dt),
         dense_len=jnp.zeros((b,), jnp.int32),
         hot_k=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
         hot_v=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
