@@ -83,10 +83,10 @@ def analytic_batch(model, mode, K, L, M, hbm_budget, max_b):
     sshapes = jax.eval_shape(lambda: state_lib.init_state(cfg, lsh, 1, M))
     per_req = sum(np.prod(l.shape) * l.dtype.itemsize
                   for l in jax.tree.leaves(sshapes))
-    # XLA hoists lane-padded (128/d x) copies of bf16 d<128 caches inside
-    # the decode scan; int8 modes use the Pallas scorer on a folded layout.
-    pad = max(128 // cfg.head_dim, 1) if lsh.offload_quant == "none" else 1
-    b = int((hbm_budget - pbytes) // (per_req * pad))
+    # All caches store token-folded layouts (lane-perfect, no XLA padding),
+    # so the analytic bound is tight; OOM backoff still guards the rest.
+    pad = 1
+    b = int((hbm_budget - pbytes) // per_req)
     return min(max(b, 1), max_b), pbytes, per_req, pad
 
 

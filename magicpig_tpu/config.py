@@ -254,7 +254,7 @@ class LSHConfig:
     topk_budget_frac: float = 0.02
     os_budget_frac: float = 0.02
     # block_topk (TPU-native fast estimator): exact-score block ranking.
-    block_topk_block_size: int = 128
+    block_topk_block_size: int = 512
     block_topk_budget_frac: float = 0.08
     # LSH masked decode backend: "auto" uses the fused Pallas streaming
     # kernel on TPU (ops/pallas/lsh_decode.py) and pure XLA elsewhere;
