@@ -84,10 +84,11 @@ def analytic_batch(model, mode, K, L, M, hbm_budget, max_b):
     per_req = sum(np.prod(l.shape) * l.dtype.itemsize
                   for l in jax.tree.leaves(sshapes))
     # All caches store token-folded layouts (lane-perfect, no XLA padding),
-    # so the analytic bound is tight; OOM backoff still guards the rest.
-    pad = 1
-    b = int((hbm_budget - pbytes) // per_req)
-    return min(max(b, 1), max_b), pbytes, per_req, pad
+    # so the analytic bound is tight up to per-request decode workspace
+    # (materialized scores etc.); OOM backoff still guards the rest.
+    workspace = 0.72e9 if mode == "block_topk" else 0.1e9
+    b = int((hbm_budget - pbytes) // (per_req + workspace))
+    return min(max(b, 1), max_b), pbytes, per_req, 1
 
 
 def main():
@@ -106,11 +107,11 @@ def main():
     p.add_argument("--modes", type=str, default="full,block_topk",
                    help="comma list of modes to measure (add lsh for the "
                         "reference-exact mode; ~5 min of extra compile)")
-    p.add_argument("--hbm-gb", type=float, default=13.0)
+    p.add_argument("--hbm-gb", type=float, default=13.5)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--baseline-tps", type=float, default=0.0,
                    help="inject a previously-measured full-attention tok/s")
-    p.add_argument("--attempt-timeout", type=int, default=900)
+    p.add_argument("--attempt-timeout", type=int, default=700)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--worker", type=str, default=None, help=argparse.SUPPRESS)
     args = p.parse_args()
