@@ -16,7 +16,6 @@ import dataclasses
 import json
 import math
 import os
-from typing import Sequence
 
 import jax.numpy as jnp
 

@@ -9,8 +9,6 @@ with one annotation. Weights are stored transposed for `x @ w` right-multiply
 
 from __future__ import annotations
 
-import dataclasses
-
 import flax.struct
 import jax
 import jax.numpy as jnp

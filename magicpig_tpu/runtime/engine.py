@@ -20,7 +20,6 @@ for the reference's rank-0 broadcast of `hash_func`
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
