@@ -160,8 +160,9 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
 
     mask: [B, Hq, S] bool/int8 (already length-masked). k_centered/v may be
     int8 (token-folded [B,Hkv,S/fold,128]) with per-token f32 k_scale/v_scale
-    [B,Hkv,S], dequantized in-register. Other args as in `lsh_fused_decode`.
-    Returns (out, lse, sampled_count).
+    in the fold-major layout [B,Hkv,fold,S/fold] (`runtime/state.py`;
+    [.., f, c] scales token c*fold + f), dequantized in-register.
+    Other args as in `lsh_fused_decode`. Returns (out, lse, sampled_count).
     """
     b, hq, d = q.shape
     hkv = k_centered.shape[1]
@@ -184,9 +185,9 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     mask_f = mask.astype(jnp.int32).reshape(
         b, hkv, g, s // fold, fold).transpose(0, 1, 2, 4, 3)
     if quant:
-        ksc_f = k_scale.astype(jnp.float32).reshape(
-            b, hkv, s // fold, fold).transpose(0, 1, 3, 2)
-        vsc_f = v_scale.astype(jnp.float32).reshape(
+        assert k_scale.shape == (b, hkv, fold, s // fold), k_scale.shape
+        ksc_f = k_scale.astype(jnp.float32)  # already fold-major (state.py)
+        vsc_f = v_scale.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(
             b, hkv, 1, s // fold, fold)  # rows-major for [rows, 1] slices
     else:
         ksc_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)

@@ -89,8 +89,10 @@ def state_pspecs(state: DecodeState) -> DecodeState:
         hot_k=per(state.hot_k, kv), hot_v=per(state.hot_v, kv),
         hot_len=P("data"),
         off_k=per(state.off_k, kv), off_v=per(state.off_v, kv),
-        off_k_scale=per(state.off_k_scale, P("data", "model", None)),
-        off_v_scale=per(state.off_v_scale, P("data", "model", None)),
+        off_k_scale=per(state.off_k_scale,
+                        P("data", "model", None, None)),
+        off_v_scale=per(state.off_v_scale,
+                        P("data", "model", None, None)),
         off_len=P("data"),
         k_norm=per(state.k_norm, P("data", "model", None)),
         avg_k=per(state.avg_k, P("data", "model", None)),

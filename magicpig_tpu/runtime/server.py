@@ -180,12 +180,22 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
 
     if lsh.offload_quant == "int8":
         # Per-row symmetric quantization of the offload region (dense layers
-        # and the hot buffer stay exact; see ops.quant).
+        # and the hot buffer stay exact; see ops.quant). Scales are stored
+        # fold-major ([.., f, c] scales token c*fold + f) so the Pallas
+        # scorer/attend/lsh kernels stream them with no per-step transpose.
         off_k, k_scale = quantize_rows(off_k)               # [cap,Hkv,*]
         off_v, v_scale = quantize_rows(off_v)
+
+        def wr_scale(bufs, i, val):                         # val [cap, Hkv]
+            leaf = bufs[i]                  # [B, Hkv, fold, off_cap/fold]
+            _, lhkv, lfold, cols = leaf.shape
+            v = jnp.moveaxis(val.astype(leaf.dtype), 1, 0)  # [Hkv, cap]
+            folded = v.reshape(lhkv, cols, lfold).transpose(0, 2, 1)
+            return tuple_set(bufs, i, _write_request(leaf, folded, req))
+
         state = state.replace(
-            off_k_scale=wr(state.off_k_scale, si, k_scale),
-            off_v_scale=wr(state.off_v_scale, si, v_scale),
+            off_k_scale=wr_scale(state.off_k_scale, si, k_scale),
+            off_v_scale=wr_scale(state.off_v_scale, si, v_scale),
         )
 
     # Offload caches are stored token-folded (state.py).
@@ -264,9 +274,15 @@ def _off_kv(state: DecodeState, si: int, lsh: LSHConfig, dtype,
     k = k.reshape(b, hkv, -1, head_dim)       # unfold (row-major view)
     v = v.reshape(b, hkv, -1, head_dim)
     if lsh.offload_quant == "int8":
-        k = dequantize_rows(k, state.off_k_scale[si], dtype)
-        v = dequantize_rows(v, state.off_v_scale[si], dtype)
+        k = dequantize_rows(k, _scale_tokens(state.off_k_scale[si]), dtype)
+        v = dequantize_rows(v, _scale_tokens(state.off_v_scale[si]), dtype)
     return k, v
+
+
+def _scale_tokens(scale_folded: jax.Array) -> jax.Array:
+    """Fold-major scales [B,Hkv,fold,cap/fold] -> token order [B,Hkv,cap]."""
+    b, hkv, fold, cols = scale_folded.shape
+    return scale_folded.transpose(0, 1, 3, 2).reshape(b, hkv, cols * fold)
 
 
 def _use_pallas(lsh: LSHConfig, head_dim: int) -> bool:
@@ -384,34 +400,36 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
             # block_attend DMAs only the selected blocks (XLA's gather moves
             # the same bytes at ~10 GB/s).
             from magicpig_tpu.ops.pallas.block_attend import block_attend
-            from magicpig_tpu.ops.pallas.score import exact_scores_blocks
+            from magicpig_tpu.ops.pallas.score import exact_scores_folded
 
             hkv = off_k.shape[1]
             g = hq // hkv
             nb = off_cap // bs
             fold = max(128 // d, 1)
-            # Block-major scores ([B,Hkv,NB,G,bs]; lane l of block nb is
-            # token nb*bs + (l % rows)*fold + l//rows): the layout the
-            # scorer emits natively and block_attend gathers from — no
-            # transposed score copies materialize.
-            scores = exact_scores_blocks(q, off_k, k_scale, block_size=bs)
-            rows = bs // fold
-            lane = jnp.arange(bs)
-            tok = (jnp.arange(nb)[:, None] * bs
-                   + (lane % rows) * fold + lane // rows)   # [nb, bs]
-            valid = (tok[None, :, None]
-                     < state.off_len[:, None, None, None])  # [B,nb,1,bs]
+            # Fold-major scores ([B,Hkv,G*fold,S/fold]; row f*G+g, col c
+            # scores token c*fold + f for head g): the layout the scorer
+            # emits in one store per grid step and block_attend DMAs one
+            # lane slice per block from — no transposed score copies
+            # materialize.
+            scores = exact_scores_folded(q, off_k, k_scale)
+            col = jnp.arange(off_cap // fold)
+            tok = col[None, :] * fold + jnp.arange(fold)[:, None]  # [fold,S/f]
+            valid = jnp.repeat(tok[None], g, axis=1)    # [1, G*fold, S/f]
+            valid = (valid < state.off_len[:, None, None])
             scores = jnp.where(valid[:, None], scores, -jnp.inf)
-            blk_sc = scores.max(axis=(3, 4))            # [B,Hkv,nb]
+            rows = bs // fold
+            blk_sc = scores.reshape(
+                b, hkv, fold * g, nb, rows).max(axis=(2, 4))  # [B,Hkv,nb]
             _, blk_ids = jax.lax.top_k(blk_sc, min(blocks, nb))
             o_off, lse_off = block_attend(scores, blk_ids, off_v, v_scale,
-                                          bs)
+                                          bs, d)
         else:
             off_k = off_k.reshape(b, off_k.shape[1], -1, d)  # unfold
             off_v = off_v.reshape(b, off_v.shape[1], -1, d)
             o_off, lse_off = block_topk_decode(
                 q, off_k, off_v, state.off_len, bs, blocks,
-                k_scale=k_scale, v_scale=v_scale)
+                k_scale=_scale_tokens(k_scale) if quant else None,
+                v_scale=_scale_tokens(v_scale) if quant else None)
         frac = (blocks * bs) / jnp.maximum(state.off_len, 1).mean()
     elif lsh.estimator == "oracle_sampling":
         n = _static_budget(off_cap, lsh.os_budget_frac)

@@ -57,7 +57,9 @@ class DecodeState:
     # offload_quant == "int8", with per-row f32 scales):
     off_k: ArrayTuple         # per-layer [B, Hkv, off_cap, d]
     off_v: ArrayTuple
-    off_k_scale: ArrayTuple   # per-layer [B, Hkv, off_cap] f32 (int8 only)
+    off_k_scale: ArrayTuple   # per-layer [B,Hkv,fold,off_cap/fold] f32
+    # (int8 only; fold-major: [.., f, c] scales token c*fold + f — the
+    # layout the Pallas scorer/attend kernels stream without a transpose)
     off_v_scale: ArrayTuple
     off_len: jax.Array        # [B] i32
 
@@ -129,10 +131,10 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
         hot_len=jnp.zeros((b,), jnp.int32),
         off_k=per_layer(ns, off_shape, off_dt),
         off_v=per_layer(ns, off_shape, off_dt),
-        off_k_scale=per_layer(ns if quant else 0, (b, hkv, off_cap),
-                              jnp.float32),
-        off_v_scale=per_layer(ns if quant else 0, (b, hkv, off_cap),
-                              jnp.float32),
+        off_k_scale=per_layer(ns if quant else 0,
+                              (b, hkv, fold, off_cap // fold), jnp.float32),
+        off_v_scale=per_layer(ns if quant else 0,
+                              (b, hkv, fold, off_cap // fold), jnp.float32),
         off_len=jnp.zeros((b,), jnp.int32),
         k_norm=per_layer(ns if is_lsh else 0, (b, hkv, off_cap), jnp.float32),
         avg_k=per_layer(ns if is_lsh else 0, (b, hkv, d), jnp.float32),

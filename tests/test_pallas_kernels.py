@@ -22,6 +22,13 @@ from magicpig_tpu.ops.pallas.decode import flash_decode
 from magicpig_tpu.ops.pallas.lsh_decode import lsh_fused_decode
 
 
+def _fold_scale(sc, D):
+    """Token-order per-row scale [B,Hkv,S] -> fold-major [B,Hkv,fold,S/fold]."""
+    fold = max(128 // D, 1)
+    b, hkv, s = sc.shape
+    return sc.reshape(b, hkv, s // fold, fold).transpose(0, 1, 3, 2)
+
+
 @pytest.mark.parametrize("B,HKV,G,S,D,BLK", [
     (2, 2, 4, 256, 64, 64),
     (1, 2, 2, 256, 128, 128),
@@ -91,7 +98,8 @@ def test_exact_scores_kernel(quant, D):
     k = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
     if quant:
         kq, ks = quantize_rows(k)
-        got = exact_scores(q, kq, ks, block_tokens=256, interpret=True)
+        got = exact_scores(q, kq, _fold_scale(ks, D), block_tokens=256,
+                           interpret=True)
         kref = dequantize_rows(kq, ks, jnp.float32)
     else:
         got = exact_scores(q, k.astype(jnp.bfloat16), None,
@@ -142,9 +150,9 @@ def test_block_attend_matches_block_topk(quant, D):
     blk_sc = scores.reshape(B, HKV, G, nb, BS).max(axis=(2, 4))
     _, blk_ids = jax.lax.top_k(blk_sc, NBP)
     fold = max(128 // D, 1)
-    # token order -> block-major merged-lane layout (lane = f*rows + r)
-    scores_f = scores.reshape(B, HKV, G, nb, BS // fold, fold).transpose(
-        0, 1, 3, 2, 5, 4).reshape(B, HKV, nb, G, BS)
+    # token order -> fold-major layout (row f*G+g, col c = token c*fold+f)
+    scores_f = scores.reshape(B, HKV, G, S // fold, fold).transpose(
+        0, 1, 4, 2, 3).reshape(B, HKV, fold * G, S // fold)
 
     if quant:
         vq, vscale = quantize_rows(v)
@@ -152,13 +160,14 @@ def test_block_attend_matches_block_topk(quant, D):
         vd = (vq.astype(jnp.float32) * vscale[..., None])
         want, want_lse = block_topk_decode(
             q, k, vd.astype(jnp.float32), length, BS, NBP, scores=scores)
-        got, got_lse = block_attend(scores_f, blk_ids, v_in, vscale, BS,
+        got, got_lse = block_attend(scores_f, blk_ids, v_in,
+                                    _fold_scale(vscale, D), BS, D,
                                     interpret=True)
         tol = 2e-2
     else:
         want, want_lse = block_topk_decode(q, k, v, length, BS, NBP,
                                            scores=scores)
-        got, got_lse = block_attend(scores_f, blk_ids, v, None, BS,
+        got, got_lse = block_attend(scores_f, blk_ids, v, None, BS, D,
                                     interpret=True)
         tol = 3e-3
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -195,7 +204,8 @@ def test_lsh_fused_int8_matches_dequant_oracle():
     o2, l2, c2 = lsh_fused_decode(
         q, kq.reshape(B, HKV, S // fold, 128),
         vq.reshape(B, HKV, S // fold, 128), knorm, planes, qb, length,
-        K, L, block_tokens=128, interpret=True, k_scale=ks, v_scale=vs)
+        K, L, block_tokens=128, interpret=True,
+        k_scale=_fold_scale(ks, D), v_scale=_fold_scale(vs, D))
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
