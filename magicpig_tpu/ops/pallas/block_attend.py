@@ -153,7 +153,7 @@ def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
     """
     b, hkv, gf, sf = scores_folded.shape
     nbp = blk_ids.shape[-1]
-    ch = max(c for c in (8, 4, 2, 1) if nbp % c == 0)
+    ch = max(c for c in (16, 8, 4, 2, 1) if nbp % c == 0)
     quant = v_scale is not None
     d = head_dim
     fold = max(128 // d, 1)
