@@ -83,10 +83,16 @@ def exact_scores_folded(q: jax.Array, k: jax.Array,
     g = hq // hkv
     fold = max(128 // d, 1)
     gf = g * fold
+    lane = 128 if fold > 1 else d
     blk = min(block_tokens, s)
+    # Cap the double-buffered K block at ~4 MB of VMEM (bf16 K at d=128
+    # would otherwise blow the ~16 MB budget at the 32K-token default).
+    while blk > fold * 32 and (blk // fold) * lane * k.dtype.itemsize > 4 << 20:
+        blk //= 2
+    while s % blk:
+        blk //= 2
     assert s % blk == 0 and blk % (fold * 32) == 0
     rows = blk // fold
-    lane = 128 if fold > 1 else d
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     quant = k_scale is not None
 

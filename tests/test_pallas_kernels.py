@@ -128,18 +128,20 @@ def test_collision_words_pallas_matches_xla():
 
 
 @pytest.mark.parametrize("quant", [False, True])
-@pytest.mark.parametrize("D", [64, 128])
-def test_block_attend_matches_block_topk(quant, D):
+@pytest.mark.parametrize("D,NBP", [(64, 3), (128, 3), (64, 16)])
+def test_block_attend_matches_block_topk(quant, D, NBP):
     from magicpig_tpu.ops.baselines import block_topk_decode
     from magicpig_tpu.ops.pallas.block_attend import block_attend
     from magicpig_tpu.ops.quant import quantize_rows
 
     rng = np.random.default_rng(6)
-    B, HKV, G, S, BS, NBP = 1, 2, 4, 1024, 128, 3
+    # NBP=16 exercises the production single-chunk (ch=16) path.
+    B, HKV, G, BS = 1, 2, 4, 128
+    S = 2048 if NBP == 16 else 1024
     q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
-    length = jnp.asarray([900], jnp.int32)
+    length = jnp.asarray([S - 124], jnp.int32)
 
     qh = q.reshape(B, HKV, G, D)
     scores = jnp.einsum("bhgd,bhsd->bhgs", qh, k,
