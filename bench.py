@@ -45,19 +45,43 @@ def make_lsh(mode, K, L):
     raise ValueError(mode)
 
 
+CACHE_DIR = os.environ.get("MAGICPIG_JAX_CACHE",
+                           os.path.join(os.path.dirname(os.path.abspath(
+                               __file__)), ".cache", "jax"))
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache, shared across worker subprocesses
+    and across bench invocations: a timed-out attempt's completed
+    executables are reused by its retry, and a pre-warmed cache makes the
+    driver's run compile-free."""
+    import jax
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def worker(args):
     """Measure one (mode, B) in this process; print WORKER:{json}."""
+    _enable_compile_cache()
     from magicpig_tpu.config import preset
     from magicpig_tpu.runtime.engine import LLM
     from magicpig_tpu.runtime.synthetic import synthetic_prefill
 
+    t0 = time.perf_counter()
     cfg = preset(args.model)
     lsh = make_lsh(args.worker, args.K, args.L)
     llm = LLM(cfg, batch_size=args.B, max_length=args.M, lsh=lsh, seed=0)
     synthetic_prefill(llm, args.P, seed=1)
+    print(f"# worker[{args.worker} B={args.B}]: fill done at "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     tok = np.zeros((args.B,), np.int32)
     t = llm.decode_steps(tok, args.G)   # compile + warmup (same static shape)
     _ = np.asarray(t)
+    print(f"# worker[{args.worker} B={args.B}]: decode compiled at "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     t = llm.decode_steps(tok, args.G)
     _ = np.asarray(t)
@@ -141,6 +165,7 @@ def main():
             print(f"# {mode}: params {pbytes/1e9:.2f} GB, state/req "
                   f"{per_req/1e9:.2f} GB (pad x{pad}) -> B={B}",
                   file=sys.stderr)
+        retried = False
         while B >= 1:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--worker", mode, "--B", str(B)]
@@ -153,9 +178,21 @@ def main():
                     cmd, capture_output=True, text=True,
                     timeout=args.attempt_timeout)
             except subprocess.TimeoutExpired:
-                print(f"# {mode}: B={B} timed out", file=sys.stderr)
-                B -= 1
+                # The persistent compile cache keeps every executable the
+                # attempt finished building; one retry at the SAME batch
+                # resumes from there instead of giving up the config.
+                if not retried:
+                    print(f"# {mode}: B={B} timed out; retrying with warm "
+                          f"compile cache", file=sys.stderr)
+                    retried = True
+                else:
+                    print(f"# {mode}: B={B} timed out", file=sys.stderr)
+                    B -= 1
+                    retried = False
                 continue
+            for ln in (out.stderr or "").splitlines():
+                if ln.startswith("# worker"):   # phase timings
+                    print(ln, file=sys.stderr)
             line = next((ln for ln in out.stdout.splitlines()
                          if ln.startswith("WORKER:")), None)
             if line:
@@ -172,6 +209,7 @@ def main():
             print(f"# {mode}: B={B} failed ({'; '.join(lines)[:300]}) "
                   f"[full log: {diag}]", file=sys.stderr)
             B -= 1
+            retried = False
         if mode not in results:
             print(f"# {mode}: no batch fit", file=sys.stderr)
 
