@@ -51,6 +51,10 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     eos_token_ids: tuple[int, ...] = (128001, 128008, 128009)
     dtype: jnp.dtype = jnp.bfloat16
+    # Sliding-window attention (Mistral v0.1-style): position t attends to
+    # (t - window, t]. None = full causal (reference fork supports the
+    # window, `evaluations/RULER/pred/mistral_ref.py:305`).
+    sliding_window: int | None = None
 
     @property
     def num_key_value_groups(self) -> int:
@@ -95,6 +99,7 @@ class ModelConfig:
             max_position_embeddings=cfg.get("max_position_embeddings", 131072),
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             eos_token_ids=eos,
+            sliding_window=cfg.get("sliding_window"),
         )
 
 
@@ -236,12 +241,14 @@ class LSHConfig:
     # (README.md:37-45); 6% gives generous headroom before truncation.
     sample_budget_frac: float = 0.06
     min_sample_budget: int = 128
-    # Decode formulation: "sampled" compacts the collision mask to a static
-    # budget of token ids and attends over the gathered rows (the fast
-    # path — attention FLOPs scale with the budget, not the context);
-    # "masked" computes dense QK with -inf masking (the accuracy oracle,
-    # mathematically identical whenever the budget covers every collision).
-    decode_mode: str = "sampled"
+    # Decode formulation: "masked" streams K/V once and -inf-masks
+    # non-sampled lanes — the PRODUCTION path (bandwidth-optimal on TPU; see
+    # BENCHMARKS.md "DMA wall"). "sampled" compacts the collision mask to a
+    # static budget of token ids and gathers the rows — a research path:
+    # its FLOPs scale with the budget but the scattered gather runs at
+    # ~9 GB/s on TPU, slower than streaming the whole cache. Both are
+    # mathematically identical whenever the budget covers every collision.
+    decode_mode: str = "masked"
     # Sparse-layer estimator (see class docstring).
     estimator: str = "lsh"
     # Quest: page size and page budget as a fraction of the offload length

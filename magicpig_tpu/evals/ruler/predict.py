@@ -40,6 +40,10 @@ def predict_task(llm, tokenizer, task: str, out_file: str,
                             tokenizer=tokenizer)
     done = _existing_indices(out_file)
     os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+    # Per-task sparsity: delta of the engine's lifetime counters, so one
+    # engine reused across tasks reports each task's own average (reference
+    # per-run report, `xllm_gen.py:184-190`).
+    snap = llm.sparsity_snapshot() if hasattr(llm, "sparsity_snapshot") else None
 
     with open(out_file, "a") as f:
         for s in samples:
@@ -69,7 +73,8 @@ def predict_task(llm, tokenizer, task: str, out_file: str,
                       f"{pred[:60]!r}", flush=True)
 
     result = score_predictions(out_file, spec.metric)
-    result["avg_sparsity"] = float(llm.avg_sparsity)
+    result["avg_sparsity"] = float(llm.avg_sparsity_since(snap) if snap
+                                   else llm.avg_sparsity)
     return result
 
 

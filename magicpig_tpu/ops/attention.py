@@ -53,14 +53,17 @@ def _gqa_reshape(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "sm_scale"))
+@functools.partial(jax.jit, static_argnames=("block_k", "sm_scale", "window"))
 def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   q_offset: jnp.ndarray, kv_len: jnp.ndarray,
-                  block_k: int = 1024, sm_scale: float | None = None):
+                  block_k: int = 1024, sm_scale: float | None = None,
+                  window: int | None = None):
     """Causal attention for a prefill chunk against the filled KV prefix.
 
     q: [B, Sq, Hq, d] — chunk queries at absolute positions q_offset..+Sq.
     k, v: [B, Skv_max, Hkv, d] — cache buffers; only [:kv_len] is valid.
+    window: sliding-window size (query t sees keys in (t-window, t]), or
+    None for full causal (`mistral_ref.py:305`).
     Returns [B, Sq, Hq, d] in q.dtype.
     """
     b, sq, hq, d = q.shape
@@ -86,12 +89,18 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         s = jnp.einsum("bhgqd,bhkd->bhgqk", qh, kb,
                        preferred_element_type=jnp.float32) * scale
         mask = (k_pos[None, :] <= q_pos[:, None]) & (k_pos[None, :] < kv_len)
+        if window is not None:
+            mask = mask & (q_pos[:, None] - k_pos[None, :] < window)
         s = jnp.where(mask[None, None, None], s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         # All-masked rows keep m == -inf; shift by 0 there to avoid NaNs.
         m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
         p = jnp.exp(s - m_safe[..., None])
-        alpha = jnp.exp(jnp.where(jnp.isneginf(m), m_new * 0, m - m_safe))
+        # When m == -inf (no contributions yet) alpha only scales the zero
+        # l/acc, so any finite value works — but it must not be computed as
+        # m_new * 0, which is NaN when the whole block is masked out (e.g.
+        # entirely outside the sliding window) and m_new is still -inf.
+        alpha = jnp.exp(jnp.where(jnp.isneginf(m), 0.0, m - m_safe))
         l_new = l * alpha + jnp.sum(p, axis=-1)
         acc_new = acc * alpha[..., None] + jnp.einsum(
             "bhgqk,bhkd->bhgqd", p.astype(vb.dtype), vb,
@@ -113,10 +122,13 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def full_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                length: jnp.ndarray, sm_scale: float | None = None):
+                length: jnp.ndarray, sm_scale: float | None = None,
+                extra_mask: jnp.ndarray | None = None):
     """Single-token decode attention over a cache prefix, with LSE.
 
     q: [B, Hq, d]; k, v: [B, Hkv, S, d]; length: [B] valid tokens.
+    extra_mask: optional [B, S] bool ANDed into the validity mask (used for
+    sliding-window lower bounds).
     Returns (out [B, Hq, d] f32, lse [B, Hq] f32, natural log).
     """
     b, hq, d = q.shape
@@ -126,6 +138,8 @@ def full_decode(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scores = jnp.einsum("bhgd,bhsd->bhgs", qh, k,
                         preferred_element_type=jnp.float32) * scale
     valid = jnp.arange(s)[None, :] < length[:, None]  # [B,S]
+    if extra_mask is not None:
+        valid = valid & extra_mask
     scores = jnp.where(valid[:, None, None], scores, _NEG_INF)
     m = jnp.max(scores, axis=-1)
     m_safe = jnp.where(jnp.isneginf(m), 0.0, m)

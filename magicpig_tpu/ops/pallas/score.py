@@ -18,9 +18,17 @@ sub-block stores — ~0.6 ms/layer of store issue at 96K; per-fold [G, d]
 dots with d=64 left the MXU row-starved; and every score-layout transpose
 in XLA costs a full copy of the [B,Hq,S] f32 array.)
 
+`exact_scores_ranked` additionally fuses (a) the length mask — streamed as
+a tiny additive [B, 1, fold, S/fold] f32 input with the same block
+addressing as the dequant scales, NOT scalar-prefetch (a
+PrefetchScalarGridSpec grid measured 5% slower end-to-end in round 1) —
+and (b) the block-topk ranking reduce: per-ranking-block max over the GQA
+group emitted as a second tiny output. This removes the separate XLA
+mask-where pass and the block-max reduce, each of which re-reads the full
+[B, Hq, S] f32 score array per layer per step.
+
 Downstream `block_attend` DMAs one [G*fold, block/fold] lane slice per
-selected block, and the block ranking is a plain reduce — no transposed
-score copies ever materialize.
+selected block — no transposed score copies ever materialize.
 """
 
 from __future__ import annotations
@@ -33,8 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, scale_ref, o_ref, *, fold: int, g: int,
-            quant: bool):
+def _kernel(q_ref, k_ref, scale_ref, mask_ref, o_ref, bm_ref, *, fold: int,
+            g: int, quant: bool, masked: bool, bs_cols: int):
     q2 = q_ref[0, 0]                                    # [GF, 128] bf16
     k = k_ref[0, 0]                                     # [rows, lane]
     raw = jax.lax.dot_general(
@@ -46,7 +54,21 @@ def _kernel(q_ref, k_ref, scale_ref, o_ref, *, fold: int, g: int,
         s8 = jnp.concatenate(
             [sc[f:f + 1] for f in range(fold) for _ in range(g)], axis=0)
         raw = raw * s8
+    if masked:
+        mk = mask_ref[0, 0]                             # [fold, rows] f32
+        m8 = jnp.concatenate(
+            [mk[f:f + 1] for f in range(fold) for _ in range(g)], axis=0)
+        raw = raw + m8
     o_ref[0, 0] = raw
+    if bm_ref is not None:
+        # Fused block ranking: max over the GQA group and each ranking
+        # block's columns (static slices — a lane-splitting reshape would
+        # not lower).
+        nbs = raw.shape[1] // bs_cols
+        bm = jnp.concatenate(
+            [jnp.max(raw[:, j * bs_cols:(j + 1) * bs_cols], axis=(0, 1),
+                     keepdims=True) for j in range(nbs)], axis=1)  # [1, nbs]
+        bm_ref[0, 0] = bm
 
 
 def _iq(b, h, c):
@@ -59,6 +81,93 @@ def _ikv(b, h, c):
 
 def _isc(b, h, c):
     return (b, h, 0, c)
+
+
+def _imask(b, h, c):
+    return (b, 0, 0, c)
+
+
+def _ibm(b, h, c):
+    return (b, h, 0, c)
+
+
+def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
+                 interpret):
+    b, hq, d = q.shape
+    hkv = k.shape[1]
+    s = k.shape[2] * k.shape[3] // d
+    g = hq // hkv
+    fold = max(128 // d, 1)
+    gf = g * fold
+    lane = 128 if fold > 1 else d
+    blk = min(block_tokens, s)
+    # Cap the double-buffered K block at ~4 MB of VMEM (bf16 K at d=128
+    # would otherwise blow the ~16 MB budget at the 32K-token default).
+    while blk > fold * 32 and (blk // fold) * lane * k.dtype.itemsize > 4 << 20:
+        blk //= 2
+    while s % blk:
+        blk //= 2
+    assert s % blk == 0 and blk % (fold * 32) == 0
+    if rank_block is not None:
+        assert blk % rank_block == 0 and rank_block % fold == 0, (
+            blk, rank_block, fold)
+    rows = blk // fold
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    quant = k_scale is not None
+    masked = mask is not None
+
+    qh = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    qh = qh.reshape(b, hkv, g, d)
+    q2 = jnp.zeros((b, hkv, gf, lane), jnp.bfloat16)
+    for f in range(fold):
+        q2 = jax.lax.dynamic_update_slice(q2, qh, (0, 0, f * g, f * d))
+    k2 = k.reshape(b, hkv, s // fold, lane)
+    if quant:
+        assert k_scale.shape == (b, hkv, fold, s // fold), k_scale.shape
+        scale_f = k_scale.astype(jnp.float32)
+    else:
+        scale_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)
+    if masked:
+        assert mask.shape == (b, fold, s // fold), mask.shape
+        mask4 = mask.astype(jnp.float32)[:, None]       # [B,1,fold,S/fold]
+    else:
+        mask4 = jnp.zeros((b, 1, fold, s // fold), jnp.float32)
+
+    bs_cols = (rank_block // fold) if rank_block is not None else 0
+    kernel = functools.partial(_kernel, fold=fold, g=g, quant=quant,
+                               masked=masked, bs_cols=bs_cols)
+    out_specs = [pl.BlockSpec((1, 1, gf, rows), _isc,
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, hkv, gf, s // fold), jnp.float32)]
+    if rank_block is not None:
+        nb = s // rank_block
+        nbs = blk // rank_block
+        out_specs.append(pl.BlockSpec((1, 1, 1, nbs), _ibm,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, hkv, 1, nb), jnp.float32))
+    else:
+        kernel = functools.partial(_nobm_kernel, inner=kernel)
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(b, hkv, s // blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, gf, lane), _iq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fold, rows), _isc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, fold, rows), _imask, memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs) if rank_block is not None else out_specs[0],
+        out_shape=tuple(out_shape) if rank_block is not None else out_shape[0],
+        interpret=interpret,
+    )(q2, k2, scale_f, mask4)
+    if rank_block is not None:
+        return res[0], res[1][:, :, 0]                  # scores, [B,Hkv,nb]
+    return res
+
+
+def _nobm_kernel(q_ref, k_ref, scale_ref, mask_ref, o_ref, *, inner):
+    inner(q_ref, k_ref, scale_ref, mask_ref, o_ref, None)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_tokens",
@@ -77,53 +186,38 @@ def exact_scores_folded(q: jax.Array, k: jax.Array,
     Returns [B, Hkv, G*fold, S/fold] f32 (un-masked; [.., f*G + g, c]
     scores token c*fold + f for query head g of the kv head).
     """
-    b, hq, d = q.shape
-    hkv = k.shape[1]
-    s = k.shape[2] * k.shape[3] // d
-    g = hq // hkv
-    fold = max(128 // d, 1)
-    gf = g * fold
-    lane = 128 if fold > 1 else d
-    blk = min(block_tokens, s)
-    # Cap the double-buffered K block at ~4 MB of VMEM (bf16 K at d=128
-    # would otherwise blow the ~16 MB budget at the 32K-token default).
-    while blk > fold * 32 and (blk // fold) * lane * k.dtype.itemsize > 4 << 20:
-        blk //= 2
-    while s % blk:
-        blk //= 2
-    assert s % blk == 0 and blk % (fold * 32) == 0
-    rows = blk // fold
-    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
-    quant = k_scale is not None
+    return _scores_call(q, k, k_scale, None, sm_scale, block_tokens, None,
+                        interpret)
 
-    qh = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
-    qh = qh.reshape(b, hkv, g, d)
-    q2 = jnp.zeros((b, hkv, gf, lane), jnp.bfloat16)
-    for f in range(fold):
-        q2 = jax.lax.dynamic_update_slice(q2, qh, (0, 0, f * g, f * d))
-    k2 = k.reshape(b, hkv, s // fold, lane)
-    if quant:
-        assert k_scale.shape == (b, hkv, fold, s // fold), k_scale.shape
-        scale_f = k_scale.astype(jnp.float32)
-    else:
-        scale_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)
 
-    kernel = functools.partial(_kernel, fold=fold, g=g, quant=quant)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, hkv, s // blk),
-        in_specs=[
-            pl.BlockSpec((1, 1, gf, lane), _iq, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, fold, rows), _isc, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, gf, rows), _isc,
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, gf, s // fold),
-                                       jnp.float32),
-        interpret=interpret,
-    )(q2, k2, scale_f)
-    return out
+@functools.partial(jax.jit, static_argnames=("rank_block", "sm_scale",
+                                             "block_tokens", "interpret"))
+def exact_scores_ranked(q: jax.Array, k: jax.Array,
+                        k_scale: jax.Array | None, mask: jax.Array,
+                        rank_block: int, sm_scale: float | None = None,
+                        block_tokens: int = 32768,
+                        interpret: bool = False):
+    """Masked scores + fused per-block ranking max (module docstring).
+
+    mask: [B, fold, S/fold] f32 additive length mask (0 valid / -inf
+    invalid; [.., f, c] masks token c*fold + f — build with `length_mask`).
+    rank_block: ranking block size in tokens (static).
+    Returns (scores [B, Hkv, G*fold, S/fold] f32 — already masked,
+    block_max [B, Hkv, S/rank_block] f32 — max over the GQA group and the
+    block's tokens, -inf for fully-invalid blocks).
+    """
+    return _scores_call(q, k, k_scale, mask, sm_scale, block_tokens,
+                        rank_block, interpret)
+
+
+def length_mask(length: jax.Array, s: int, fold: int) -> jax.Array:
+    """Additive fold-major length mask [B, fold, S/fold] f32: 0 where token
+    c*fold + f < length, -inf beyond. Depends only on off_len, so one array
+    serves every layer of a decode step."""
+    cols = s // fold
+    tok = (jnp.arange(cols)[None, :] * fold
+           + jnp.arange(fold)[:, None])                 # [fold, S/fold]
+    return jnp.where(tok[None] < length[:, None, None], 0.0, -jnp.inf)
 
 
 def exact_scores(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,

@@ -67,6 +67,11 @@ class LLM:
         self.max_length = max_length
         self.chunk_size = chunk_size
         self.groups = state_lib.layer_groups(self.config, self.lsh)
+        if self.config.sliding_window is not None and self.lsh.enabled:
+            # Local/generated hot tokens must always be inside the window
+            # (only sink tokens age out; see decode_sparse_layer).
+            assert self.config.sliding_window > state_lib.hot_capacity(self.lsh), (
+                "sliding_window must exceed sink+local+generation_buffer")
 
         key = jax.random.key(seed)
         pkey, hkey, self._sample_key = jax.random.split(key, 3)
@@ -89,6 +94,13 @@ class LLM:
         # reference's "Avg Sparsity", `xllm_gen.py:184-190`).
         self._sparsity_sum = 0.0
         self._sparsity_steps = 0
+        # Host mirrors of per-slot cache usage for the generation-buffer
+        # guard: the reference sizes its paged cache for M + buffer
+        # (`models/attnserver.py:16,25`); past capacity our
+        # `dynamic_update_slice` append would silently clamp and corrupt the
+        # last cache row, so decode entry fails loudly instead.
+        self._hot_used: dict[int, int] = {}   # slot -> hot tokens used
+        self._pos_used: dict[int, int] = {}   # slot -> absolute position
 
     # -- pure functions (jitted in __init__) --------------------------------
 
@@ -107,7 +119,8 @@ class LLM:
             for j in range(n_chunks):
                 cs, ce = j * c, (j + 1) * c
                 o = flash_prefill(q[:, cs:ce], k[:, :ce], v[:, :ce],
-                                  jnp.int32(cs), jnp.int32(ce), block_k=c)
+                                  jnp.int32(cs), jnp.int32(ce), block_k=c,
+                                  window=cfg.sliding_window)
                 outs.append(o.reshape(1, c, -1))
             attn = jnp.concatenate(outs, axis=1)             # [1, P, Hq*d]
 
@@ -125,7 +138,8 @@ class LLM:
                 state = fill_dense_layer(state, gi, req, k[0], v[0], true_len)
             else:
                 state = fill_sparse_layer(state, gi, req, k[0], v[0],
-                                          true_len, self.projections, lsh)
+                                          true_len, self.projections, lsh,
+                                          window=cfg.sliding_window)
 
         last = jax.lax.dynamic_slice(hidden, (0, true_len - 1, 0),
                                      (1, 1, hidden.shape[-1]))[:, 0]
@@ -135,6 +149,15 @@ class LLM:
 
     def _decode_fn(self, params: LlamaParams, state, tokens):
         cfg, lsh = self.config, self.lsh
+        # On a sharded engine (shard_engine) the attention ops run under
+        # shard_map so the Pallas kernels execute per (data, model) shard;
+        # GSPMD alone cannot partition a pallas_call (parallel/sharded.py).
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from magicpig_tpu.parallel.sharded import (
+                decode_dense_layer_sharded,
+                decode_sparse_layer_sharded,
+            )
         b = tokens.shape[0]
         hidden = params.embed[tokens]                        # [B, h]
         positions = state.pos
@@ -146,10 +169,23 @@ class LLM:
                                params.cos, params.sin)
             q, k, v = q[:, 0], k[:, 0], v[:, 0]              # [B,H,d]
             if kind == "dense":
-                out, state = decode_dense_layer(state, gi, q, k, v)
+                if mesh is not None:
+                    out, state = decode_dense_layer_sharded(
+                        mesh, state, gi, q, k, v, window=cfg.sliding_window,
+                        use_pallas=lsh.use_pallas)
+                else:
+                    out, state = decode_dense_layer(
+                        state, gi, q, k, v, window=cfg.sliding_window,
+                        use_pallas=lsh.use_pallas)
             else:
-                out, state, frac = decode_sparse_layer(
-                    state, gi, q, k, v, self.projections, lsh)
+                if mesh is not None:
+                    out, state, frac = decode_sparse_layer_sharded(
+                        mesh, state, gi, q, k, v, self.projections, lsh,
+                        window=cfg.sliding_window)
+                else:
+                    out, state, frac = decode_sparse_layer(
+                        state, gi, q, k, v, self.projections, lsh,
+                        window=cfg.sliding_window)
                 frac_sum = frac_sum + frac
                 n_sparse += 1
             hidden = post_attention(
@@ -178,8 +214,41 @@ class LLM:
             step, (state, tokens), None, length=n_steps)
         return state, toks, jnp.mean(fracs)
 
+    def _guard_decode(self, n_steps: int):
+        """Fail loudly if `n_steps` more decode tokens would overflow any
+        live slot's generation buffer or the dense cache (reference cache
+        sizing `models/attnserver.py:16,25`)."""
+        hot_cap = state_lib.hot_capacity(self.lsh)
+        for slot, used in self._hot_used.items():
+            if self.lsh.enabled and used + n_steps > hot_cap:
+                raise ValueError(
+                    f"slot {slot}: {n_steps} more decode steps would use "
+                    f"{used + n_steps} hot tokens > generation-buffer "
+                    f"capacity {hot_cap}; raise LSHConfig.generation_buffer")
+            if self._pos_used.get(slot, 0) + n_steps > self.max_length:
+                raise ValueError(
+                    f"slot {slot}: position {self._pos_used[slot] + n_steps} "
+                    f"would exceed max_length {self.max_length}")
+        for slot in self._hot_used:
+            self._hot_used[slot] += n_steps
+            self._pos_used[slot] += n_steps
+
+    def release_slot(self, slot: int):
+        """Free one request slot (lengths zeroed; mirrors dropped) so a new
+        prefill can reuse it — used by the continuous-batching scheduler."""
+        st = self.state
+        self.state = st.replace(
+            pos=st.pos.at[slot].set(0),
+            dense_len=st.dense_len.at[slot].set(0),
+            hot_len=st.hot_len.at[slot].set(0),
+            off_len=st.off_len.at[slot].set(0),
+        )
+        self._hot_used.pop(slot, None)
+        self._pos_used.pop(slot, None)
+
     def decode_steps(self, input_ids, n_steps: int):
         """Greedy-decode n_steps tokens in one dispatch; returns [n_steps, B]."""
+        self._guard_decode(n_steps)
         tokens = jnp.asarray(np.asarray(input_ids, np.int32).reshape(-1))
         self.state, toks, frac = self._decode_scan_jit(
             self.params, self.state, tokens, n_steps=n_steps)
@@ -210,10 +279,14 @@ class LLM:
         self.state, logits = self._prefill_jit(
             self.params, self.state, jnp.asarray(tokens), jnp.int32(p),
             jnp.int32(request_id), p_pad=p_pad)
+        self._hot_used[request_id] = (self.lsh.num_sink_tokens
+                                      + self.lsh.num_local_tokens)
+        self._pos_used[request_id] = p
         return logits
 
     def inference(self, input_ids):
         """One decode step for the whole batch; returns logits [B, V]."""
+        self._guard_decode(1)
         tokens = jnp.asarray(np.asarray(input_ids, np.int32).reshape(-1))
         self.state, logits, frac = self._decode_jit(
             self.params, self.state, tokens)
@@ -230,12 +303,30 @@ class LLM:
         `generate()`'s implicit `clear()`)."""
         return self._sparsity_sum / max(self._sparsity_steps, 1)
 
+    def sparsity_snapshot(self) -> tuple[float, int]:
+        """Snapshot of the sparsity accumulators; pass to
+        `avg_sparsity_since` to get a per-run (e.g. per-RULER-task) average
+        like the reference's per-run report (`xllm_gen.py:184-190`)."""
+        return (self._sparsity_sum, self._sparsity_steps)
+
+    def avg_sparsity_since(self, snapshot: tuple[float, int]) -> float:
+        s0, n0 = snapshot
+        return ((self._sparsity_sum - s0)
+                / max(self._sparsity_steps - n0, 1))
+
     def generate(self, input_ids, max_tokens: int = 128,
                  temperature: float = 0.6, top_p: float = 0.9,
                  verbose: bool = False):
         """Prefill + decode loop with on-device sampling; returns token list
         (reference `models/llama.py:327-360`)."""
         ids = np.asarray(input_ids, np.int32).reshape(-1)
+        hot_cap = state_lib.hot_capacity(self.lsh)
+        base = self.lsh.num_sink_tokens + self.lsh.num_local_tokens
+        if self.lsh.enabled and base + max_tokens > hot_cap:
+            raise ValueError(
+                f"max_tokens={max_tokens} exceeds the generation buffer "
+                f"({hot_cap - base} tokens); raise "
+                f"LSHConfig.generation_buffer")
         logits = self.prefill(ids, request_id=0)
         jax.block_until_ready(logits)
         t1 = time.perf_counter()
@@ -264,3 +355,5 @@ class LLM:
         The sparsity counters survive (lifetime metric, see avg_sparsity)."""
         self.state = state_lib.init_state(
             self.config, self.lsh, self.batch_size, self.max_length)
+        self._hot_used.clear()
+        self._pos_used.clear()

@@ -85,8 +85,16 @@ def fill_dense_layer(state: DecodeState, di: int, req: jax.Array,
     )
 
 
-def _split_offload(state, si, k_full, v_full, true_len, lsh):
+def _split_offload(state, si, k_full, v_full, true_len, lsh,
+                   window: int | None = None):
     """Common sink/local/offload partition (reference `attnserver.py:126-148`).
+
+    With a sliding `window` (Mistral, `mistral_ref.py:305`), the offload
+    region is clipped at fill to global positions >= true_len - window:
+    older tokens can never re-enter the window during generation, so the
+    estimators simply never see them. (Decode advances the window past
+    fill's clip by at most the generation buffer — a <=256-token sliver at
+    the stale end whose keys are retained; exact for the dense partials.)
 
     Returns (off_k [off_cap,Hkv,d], off_v, off_len, hot_k [sink+local,Hkv,d],
     hot_v) — all un-centered; LSH centering happens in the caller.
@@ -94,15 +102,28 @@ def _split_offload(state, si, k_full, v_full, true_len, lsh):
     p_pad, hkv, d = k_full.shape
     sink, local = lsh.num_sink_tokens, lsh.num_local_tokens
     off_cap = _off_cap(state.off_k[si], d)
-    off_len = true_len - sink - local
 
     take = min(off_cap, p_pad - sink)
+    if window is None:
+        off_len = true_len - sink - local
+        off_start = sink
+        k_src, v_src = k_full, v_full
+    else:
+        off_start = jnp.maximum(sink, true_len - window)
+        off_len = jnp.maximum(true_len - local - off_start, 0)
+        # Pad so a dynamic start near the end never clamps backward (which
+        # would silently re-admit out-of-window tokens as valid rows).
+        pad = jnp.zeros((take, hkv, d), k_full.dtype)
+        k_src = jnp.concatenate([k_full, pad], axis=0)
+        v_src = jnp.concatenate([v_full, pad], axis=0)
     off_k = jnp.zeros((off_cap, hkv, d), k_full.dtype)
-    off_k = jax.lax.dynamic_update_slice(off_k, k_full[sink:sink + take],
-                                         (0, 0, 0))
+    off_k = jax.lax.dynamic_update_slice(
+        off_k, jax.lax.dynamic_slice_in_dim(k_src, off_start, take, axis=0),
+        (0, 0, 0))
     off_v = jnp.zeros((off_cap, hkv, d), v_full.dtype)
-    off_v = jax.lax.dynamic_update_slice(off_v, v_full[sink:sink + take],
-                                         (0, 0, 0))
+    off_v = jax.lax.dynamic_update_slice(
+        off_v, jax.lax.dynamic_slice_in_dim(v_src, off_start, take, axis=0),
+        (0, 0, 0))
 
     local_k = jax.lax.dynamic_slice(k_full, (true_len - local, 0, 0),
                                     (local, hkv, d))
@@ -123,18 +144,20 @@ def _pad_to(buf_leaf, val):
 def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
                       k_full: jax.Array, v_full: jax.Array,
                       true_len: jax.Array, projections: jax.Array,
-                      lsh: LSHConfig) -> DecodeState:
+                      lsh: LSHConfig, window: int | None = None) -> DecodeState:
     """Partition prefill K/V into sink/local (hot) + offload, then build the
     estimator's retrieval state:
       * lsh   — center keys by the mean offload key, store centered-key
                 norms, bit-plane SimHash signatures (`attnserver.py:126-175`)
       * quest — per-page min/max landmarks (`quest_cache.py:49-63`)
       * topk / oracle_sampling — raw K/V only
+    `window`: sliding-window size — clips the offload region at fill
+    (see `_split_offload`).
     """
     hkv, d = k_full.shape[1], k_full.shape[2]
     off_cap = _off_cap(state.off_k[si], d)
     off_k, off_v, off_len, hot_k, hot_v = _split_offload(
-        state, si, k_full, v_full, true_len, lsh)
+        state, si, k_full, v_full, true_len, lsh, window)
 
     def wr(bufs, i, val_seq_major):
         leaf = bufs[i]
@@ -165,10 +188,21 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
         )
         off_k = centered
     elif lsh.estimator == "quest":
-        # Landmarks over the padded buffer; invalid pages are masked at
-        # decode by off_len (their scores go to -inf in `quest_decode`).
-        kmin, kmax = quest_landmarks(
-            off_k.transpose(1, 0, 2)[None], lsh.quest_page_size)
+        # Mask padded rows to +/-max before the per-page min/max so the page
+        # straddling off_len gets landmarks from its valid rows only (the
+        # padding zeros would otherwise pull min/max toward 0). Fully
+        # invalid pages get +/-max landmarks but are masked to -inf at
+        # decode by off_len in `quest_decode`.
+        valid_row = (jnp.arange(off_cap) < off_len)[:, None, None]
+        big = float(jnp.finfo(off_k.dtype).max)  # storable in the cache dtype
+        k_lo = jnp.where(valid_row, off_k.astype(jnp.float32), big)
+        k_hi = jnp.where(valid_row, off_k.astype(jnp.float32), -big)
+        kmin, _ = quest_landmarks(
+            k_lo.transpose(1, 0, 2)[None], lsh.quest_page_size)
+        _, kmax = quest_landmarks(
+            k_hi.transpose(1, 0, 2)[None], lsh.quest_page_size)
+        kmin = kmin.astype(off_k.dtype)
+        kmax = kmax.astype(off_k.dtype)
         state = state.replace(
             quest_min=tuple_set(state.quest_min, si,
                                 _write_request(state.quest_min[si],
@@ -242,25 +276,42 @@ def _append_folded(cache: jax.Array, new: jax.Array, lens: jax.Array,
 
 
 def decode_dense_layer(state: DecodeState, di: int, q: jax.Array,
-                       k_new: jax.Array, v_new: jax.Array):
+                       k_new: jax.Array, v_new: jax.Array,
+                       window: int | None = None,
+                       use_pallas: str = "auto"):
     """Append + full attention over the whole prefix (reference
-    `attnserver.py:235-259`). q: [B,Hq,d]; k/v_new: [B,Hkv,d]."""
+    `attnserver.py:235-259`). q: [B,Hq,d]; k/v_new: [B,Hkv,d].
+    `window`: sliding-window lower bound (the query at index dense_len sees
+    cache rows j with dense_len - j < window).
+    `use_pallas`: "auto" = flash-decode on TPU for d<128; "on" forces it
+    (interpret mode off-TPU); "off" forces the XLA einsum."""
     b, hq, d = q.shape
     dense_k = _append_folded(state.dense_k[di], k_new, state.dense_len, d)
     dense_v = _append_folded(state.dense_v[di], v_new, state.dense_len, d)
     state = state.replace(dense_k=tuple_set(state.dense_k, di, dense_k),
                           dense_v=tuple_set(state.dense_v, di, dense_v))
-    if jax.default_backend() not in ("cpu",) and d < 128:
+    pallas_ok = d < 128 and (
+        use_pallas == "on"
+        or (use_pallas == "auto"
+            and jax.default_backend() not in ("cpu",)))
+    if window is None and pallas_ok:
         # Pallas flash-decode reads the folded layout natively; the XLA
         # einsum would hoist a lane-padded 2x copy of the cache per step.
         from magicpig_tpu.ops.pallas.decode import flash_decode
 
-        out, _ = flash_decode(q, dense_k, dense_v, state.dense_len + 1)
+        out, _ = flash_decode(q, dense_k, dense_v, state.dense_len + 1,
+                              interpret=_interp())
     else:
         hkv = dense_k.shape[1]
         ku = dense_k.reshape(b, hkv, -1, d)
         vu = dense_v.reshape(b, hkv, -1, d)
-        out, _ = full_decode(q, ku, vu, state.dense_len + 1)
+        extra = None
+        if window is not None:
+            s = ku.shape[2]
+            extra = (jnp.arange(s)[None, :]
+                     > (state.dense_len - window)[:, None])
+        out, _ = full_decode(q, ku, vu, state.dense_len + 1,
+                             extra_mask=extra)
     return out, state
 
 
@@ -295,6 +346,14 @@ def _use_pallas(lsh: LSHConfig, head_dim: int) -> bool:
     return jax.default_backend() not in ("cpu",) and head_dim >= 32
 
 
+def _interp() -> bool:
+    """Pallas interpreter mode: exercised when the production kernel paths
+    are forced on (use_pallas="on") without TPU hardware — the CPU-mesh
+    multichip dryrun and the sharded-kernel tests run exactly the
+    production call graph this way."""
+    return jax.default_backend() in ("cpu",)
+
+
 def _lsh_partial(state, si, q, projections, lsh):
     """LSH-sampled partial over the offload region; returns (out, lse, frac)."""
     b, hq, d = q.shape
@@ -313,7 +372,7 @@ def _lsh_partial(state, si, q, projections, lsh):
         q_bits = hash_bits(q, projections, lsh.K)
         out, lse, cnt = lsh_fused_decode(
             q, kk, vv, state.k_norm[si], state.planes[si], q_bits,
-            state.off_len, lsh.K, lsh.L,
+            state.off_len, lsh.K, lsh.L, interpret=_interp(),
             k_scale=state.off_k_scale[si] if quant else None,
             v_scale=state.off_v_scale[si] if quant else None)
         frac = cnt.sum() / jnp.maximum(state.off_len.sum() * hq, 1)
@@ -344,11 +403,29 @@ def _static_budget(off_cap: int, frac: float, floor: int = 16) -> int:
     return max(floor, min(off_cap, int(math.ceil(off_cap * frac))))
 
 
+def _realized_frac(budget_tokens, off_len: jax.Array) -> jax.Array:
+    """Workload metric for budgeted estimators: realized coverage, not the
+    configured budget. Clamps the static budget to each request's valid
+    offload region so the metric is comparable to the LSH path's exact
+    sampled count and never exceeds 1.0 (reference workload tracking,
+    `attnserver_dist.py:525-527`)."""
+    covered = jnp.minimum(jnp.float32(budget_tokens),
+                          off_len.astype(jnp.float32))
+    return covered.mean() / jnp.maximum(off_len.astype(jnp.float32).mean(), 1)
+
+
 def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
                         k_new: jax.Array, v_new: jax.Array,
-                        projections: jax.Array, lsh: LSHConfig):
+                        projections: jax.Array, lsh: LSHConfig,
+                        window: int | None = None):
     """Sparse-layer decode: hot dense partial + estimator partial over the
     offload region, merged by LSE (reference `attnserver.py:261-312`).
+
+    With a sliding `window`, sink tokens (global positions 0..sink-1) drop
+    out of the hot partial once the decode position passes the window; the
+    offload region was already window-clipped at fill. Local/generated hot
+    tokens are always in-window (hot capacity << window, asserted in the
+    engine).
 
     Returns (out [B,Hq,d] f32, state, sampled_frac scalar — the reference's
     "workload" observability metric, `attnserver_dist.py:525-527`).
@@ -366,7 +443,14 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
                           hot_v=tuple_set(state.hot_v, si, hot_v))
 
     # Dense partial over sink/local/generated.
-    o_hot, lse_hot = full_decode(q, hot_k, hot_v, state.hot_len + 1)
+    extra = None
+    if window is not None:
+        hot_cap = state.hot_k[si].shape[2]
+        idx = jnp.arange(hot_cap)[None, :]
+        in_window = state.pos[:, None] - idx < window   # sink global pos = idx
+        extra = (idx >= lsh.num_sink_tokens) | in_window
+    o_hot, lse_hot = full_decode(q, hot_k, hot_v, state.hot_len + 1,
+                                 extra_mask=extra)
 
     # Estimator partial over the offload region.
     if lsh.estimator == "lsh":
@@ -378,13 +462,12 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
         o_off, lse_off = quest_decode(
             q, off_k, off_v, state.quest_min[si],
             state.quest_max[si], state.off_len, lsh.quest_page_size, pages)
-        frac = (pages * lsh.quest_page_size) / jnp.maximum(
-            state.off_len, 1).mean()
+        frac = _realized_frac(pages * lsh.quest_page_size, state.off_len)
     elif lsh.estimator == "topk":
         n = _static_budget(off_cap, lsh.topk_budget_frac)
         off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16, d)
         o_off, lse_off = topk_decode(q, off_k, off_v, state.off_len, n)
-        frac = n / jnp.maximum(state.off_len, 1).mean()
+        frac = _realized_frac(n, state.off_len)
     elif lsh.estimator == "block_topk":
         bs = lsh.block_topk_block_size
         blocks = _static_budget(off_cap // bs, lsh.block_topk_budget_frac,
@@ -393,36 +476,33 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
         k_scale = state.off_k_scale[si] if quant else None
         v_scale = state.off_v_scale[si] if quant else None
         off_k, off_v = state.off_k[si], state.off_v[si]
-        if (lsh.use_pallas != "off" and q.shape[-1] >= 32
-                and jax.default_backend() not in ("cpu",)):
+        if _use_pallas(lsh, d):
             # Pallas fast path: the scorer reads the raw (folded int8) cache
             # once (XLA's einsum hoists a lane-padded bf16 copy instead) and
             # block_attend DMAs only the selected blocks (XLA's gather moves
             # the same bytes at ~10 GB/s).
             from magicpig_tpu.ops.pallas.block_attend import block_attend
-            from magicpig_tpu.ops.pallas.score import exact_scores_folded
+            from magicpig_tpu.ops.pallas.score import (
+                exact_scores_ranked,
+                length_mask,
+            )
 
-            hkv = off_k.shape[1]
-            g = hq // hkv
             nb = off_cap // bs
             fold = max(128 // d, 1)
             # Fold-major scores ([B,Hkv,G*fold,S/fold]; row f*G+g, col c
             # scores token c*fold + f for head g): the layout the scorer
             # emits in one store per grid step and block_attend DMAs one
             # lane slice per block from — no transposed score copies
-            # materialize.
-            scores = exact_scores_folded(q, off_k, k_scale)
-            col = jnp.arange(off_cap // fold)
-            tok = col[None, :] * fold + jnp.arange(fold)[:, None]  # [fold,S/f]
-            valid = jnp.repeat(tok[None], g, axis=1)    # [1, G*fold, S/f]
-            valid = (valid < state.off_len[:, None, None])
-            scores = jnp.where(valid[:, None], scores, -jnp.inf)
-            rows = bs // fold
-            blk_sc = scores.reshape(
-                b, hkv, fold * g, nb, rows).max(axis=(2, 4))  # [B,Hkv,nb]
+            # materialize. The length mask (tiny additive input) and the
+            # per-block ranking max are FUSED into the scorer, so neither
+            # the XLA where pass nor the block-max reduce re-reads the
+            # [B,Hq,S] f32 scores.
+            mask = length_mask(state.off_len, off_cap, fold)
+            scores, blk_sc = exact_scores_ranked(
+                q, off_k, k_scale, mask, bs, interpret=_interp())
             _, blk_ids = jax.lax.top_k(blk_sc, min(blocks, nb))
             o_off, lse_off = block_attend(scores, blk_ids, off_v, v_scale,
-                                          bs, d)
+                                          bs, d, interpret=_interp())
         else:
             off_k = off_k.reshape(b, off_k.shape[1], -1, d)  # unfold
             off_v = off_v.reshape(b, off_v.shape[1], -1, d)
@@ -430,7 +510,7 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
                 q, off_k, off_v, state.off_len, bs, blocks,
                 k_scale=_scale_tokens(k_scale) if quant else None,
                 v_scale=_scale_tokens(v_scale) if quant else None)
-        frac = (blocks * bs) / jnp.maximum(state.off_len, 1).mean()
+        frac = _realized_frac(blocks * bs, state.off_len)
     elif lsh.estimator == "oracle_sampling":
         n = _static_budget(off_cap, lsh.os_budget_frac)
         key = jax.random.fold_in(jax.random.key(677232254), state.step)
@@ -438,7 +518,7 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
         off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16, d)
         o_off, lse_off = oracle_sampling_decode(
             key, q, off_k, off_v, state.off_len, n)
-        frac = n / jnp.maximum(state.off_len, 1).mean()
+        frac = _realized_frac(n, state.off_len)
     else:  # pragma: no cover
         raise ValueError(lsh.estimator)
 

@@ -56,6 +56,14 @@ class Scheduler:
         return bool(self.queue or self.active)
 
     def submit(self, prompt, max_tokens: int = 64) -> int:
+        from magicpig_tpu.runtime import state as state_lib
+
+        lsh = self.llm.lsh
+        budget = (state_lib.hot_capacity(lsh) - lsh.num_sink_tokens
+                  - lsh.num_local_tokens)
+        if lsh.enabled and max_tokens > budget:
+            raise ValueError(f"max_tokens={max_tokens} exceeds the "
+                             f"generation buffer ({budget} tokens)")
         self._uid += 1
         req = Request(self._uid, np.asarray(prompt, np.int32).reshape(-1),
                       max_tokens)
@@ -78,14 +86,15 @@ class Scheduler:
         self.active.pop(slot)
         self.free.append(slot)
         self.finished.append(req)
-        # Reset just this slot's lengths so a future request reuses it.
-        st = self.llm.state
-        self.llm.state = st.replace(
-            pos=st.pos.at[slot].set(0),
-            dense_len=st.dense_len.at[slot].set(0),
-            hot_len=st.hot_len.at[slot].set(0),
-            off_len=st.off_len.at[slot].set(0),
-        )
+        # Free this slot's lengths so a future request reuses it.
+        #
+        # Invariant: the batched decode step still runs over free slots with
+        # stale tokens, so their pos/hot_len advance from 0 and garbage rows
+        # are written into their caches — this is safe ONLY because
+        # `fill_dense_layer`/`fill_sparse_layer` fully overwrite a slot's
+        # cache region and lengths on re-admission. Do not add fill paths
+        # that merge into existing slot state.
+        self.llm.release_slot(slot)
 
     def step(self) -> list[Request]:
         """Admit + one batched greedy decode step; returns newly finished."""

@@ -46,4 +46,7 @@ def synthetic_prefill(llm, seq_len: int, seed: int = 0):
             key, sub = jax.random.split(key)
             state = fill_one(state, sub, jnp.int32(r), kind=kind, gi=gi)
     llm.state = state.replace(pos=jnp.full_like(state.pos, seq_len))
+    for r in range(llm.batch_size):   # register the generation-buffer guard
+        llm._hot_used[r] = lsh.num_sink_tokens + lsh.num_local_tokens
+        llm._pos_used[r] = seq_len
     return llm

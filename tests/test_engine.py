@@ -284,3 +284,45 @@ def test_continuous_batching_scheduler(tiny_params):
             logits = single.inference(np.asarray([want[-1]]))
             want.append(int(np.asarray(logits)[0].argmax()))
         assert by_uid[uid].generated[:4] == want, uid
+
+
+def test_generation_buffer_guard(tiny_params):
+    """Decoding past the hot-buffer capacity must fail loudly instead of
+    silently clamping the cache append (reference sizes its paged cache for
+    M + generation_buffer, `models/attnserver.py:16,25`)."""
+    from magicpig_tpu.runtime.state import hot_capacity
+
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(1, TINY.vocab_size, size=60).astype(np.int32)
+    llm = _make_llm(K=4, L=8, params=tiny_params)
+    cap = hot_capacity(llm.lsh)
+    budget = cap - llm.lsh.num_sink_tokens - llm.lsh.num_local_tokens
+
+    with pytest.raises(ValueError, match="generation buffer"):
+        llm.generate(prompt, max_tokens=budget + 1, temperature=0.0)
+
+    # Stepwise decode trips the same guard exactly at capacity.
+    llm.clear()
+    llm.prefill(prompt, request_id=0)
+    llm.decode_steps(np.zeros((1,), np.int32), budget)
+    with pytest.raises(ValueError, match="generation-buffer"):
+        llm.inference(np.zeros((1,), np.int32))
+
+    # release_slot frees the mirror so the slot is reusable.
+    llm.release_slot(0)
+    llm.prefill(prompt, request_id=0)
+    llm.inference(np.zeros((1,), np.int32))
+
+
+def test_per_task_sparsity_snapshot(tiny_params):
+    """avg_sparsity_since reports only the steps after the snapshot."""
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(1, TINY.vocab_size, size=60).astype(np.int32)
+    llm = _make_llm(K=4, L=8, params=tiny_params)
+    llm.prefill(prompt, request_id=0)
+    llm.decode_steps(np.zeros((1,), np.int32), 4)
+    snap = llm.sparsity_snapshot()
+    llm.decode_steps(np.zeros((1,), np.int32), 4)
+    since = llm.avg_sparsity_since(snap)
+    assert 0.0 <= since <= 1.0
+    assert llm._sparsity_steps == 8

@@ -213,3 +213,50 @@ def test_lsh_fused_int8_matches_dequant_oracle():
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("D", [32, 64, 128])
+def test_exact_scores_ranked_fused_mask_and_blockmax(quant, D):
+    """The fused scorer's additive length mask + in-kernel block-max must
+    equal the unfused pipeline (scores -> XLA where -> reshape/max)."""
+    from magicpig_tpu.ops.pallas.score import (
+        exact_scores,
+        exact_scores_ranked,
+        length_mask,
+    )
+    from magicpig_tpu.ops.quant import dequantize_rows, quantize_rows
+
+    rng = np.random.default_rng(3)
+    B, HKV, G, S, BS = 2, 2, 4, 512, 64
+    fold = max(128 // D, 1)
+    length = jnp.asarray([S - 37, S // 2], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    if quant:
+        kq, ks = quantize_rows(k)
+        karg, sarg = kq, _fold_scale(ks, D)
+        kref = dequantize_rows(kq, ks, jnp.float32)
+    else:
+        karg, sarg = k.astype(jnp.bfloat16), None
+        kref = k.astype(jnp.bfloat16)
+
+    mask = length_mask(length, S, fold)
+    scores_f, blk_max = exact_scores_ranked(q, karg, sarg, mask, BS,
+                                            block_tokens=256, interpret=True)
+
+    # Oracle: token-order scores, where-masked, per-block GQA max.
+    ref = jnp.einsum("bhgd,bhsd->bhgs",
+                     q.astype(jnp.bfloat16).reshape(B, HKV, G, D), kref,
+                     preferred_element_type=jnp.float32) / np.sqrt(D)
+    valid = (jnp.arange(S)[None, :] < length[:, None])[:, None, None]
+    ref = jnp.where(valid, ref, -jnp.inf)
+    ref_bm = ref.reshape(B, HKV, G, S // BS, BS).max(axis=(2, 4))
+    np.testing.assert_allclose(np.asarray(blk_max), np.asarray(ref_bm),
+                               rtol=2e-2, atol=2e-2)
+
+    # The masked fold-major scores reorder to the masked token-order ref.
+    got = scores_f.reshape(B, HKV, fold, G, S // fold)
+    got = got.transpose(0, 1, 3, 4, 2).reshape(B, HKV, G, S)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

@@ -80,8 +80,10 @@ def test_predict_task_end_to_end_and_resume(tmp_path):
     from magicpig_tpu.utils.tokenizer import ByteTokenizer
 
     cfg = dataclasses.replace(preset("llama-tiny"), dtype=jnp.float32)
+    # generation_buffer must cover the task's tokens_to_generate (128) —
+    # the engine now fails loudly instead of clamping the cache append.
     lsh = LSHConfig(K=4, L=16, num_sink_tokens=2, num_local_tokens=8,
-                    generation_buffer=64)
+                    generation_buffer=160)
     llm = LLM(cfg, batch_size=1, max_length=2048, chunk_size=256, lsh=lsh)
     tok = ByteTokenizer()
 
