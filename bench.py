@@ -38,7 +38,10 @@ def make_lsh(mode, K, L):
     if mode == "full":
         return LSHConfig(K=0, L=0)
     if mode == "lsh":
-        return LSHConfig(K=K, L=L, decode_mode="masked")
+        # int8 offload halves the K/V stream the fused kernel reads and the
+        # per-request state (planes dominate either way), raising max batch.
+        return LSHConfig(K=K, L=L, decode_mode="masked",
+                         offload_quant="int8")
     if mode == "block_topk":
         return LSHConfig(K=1, L=0, estimator="block_topk",
                          offload_quant="int8")
@@ -128,9 +131,8 @@ def main():
     p.add_argument("--mode", type=str, default="block_topk",
                    choices=["block_topk", "lsh", "full"],
                    help="flagship mode for the headline JSON")
-    p.add_argument("--modes", type=str, default="full,block_topk",
-                   help="comma list of modes to measure (add lsh for the "
-                        "reference-exact mode; ~5 min of extra compile)")
+    p.add_argument("--modes", type=str, default="full,block_topk,lsh",
+                   help="comma list of modes to measure")
     p.add_argument("--hbm-gb", type=float, default=13.5)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--baseline-tps", type=float, default=0.0,

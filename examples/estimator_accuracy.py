@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Score every sparse estimator against full attention with TRAINED weights.
+
+Companion to `examples/train_needle.py` (which see, for why this replaces a
+pretrained-checkpoint RULER run in this image). Protocol per sample:
+
+  prefill([BOS] haystack-with-needles)      # exact attention, fills caches
+  inference([Q])                            # decode step 1 (estimator on)
+  inference(k_q) -> argmax == v_q ?         # decode step 2: the RETRIEVAL
+                                            # happens under the estimator
+
+The needle lives deep in the offload region (forced > local window from the
+end), so the second decode step's attention must recover it through the
+sparse path — the same accuracy question RULER's niah tasks pose to the
+reference (`/root/reference/evaluations/RULER/`), answered with real
+induction-head attention rather than synthetic planted scores.
+
+Run: python examples/estimator_accuracy.py --ckpt data/needle_ckpt.npz \
+         --contexts 2048,4096,8192 --samples 200
+Writes results/estimator_accuracy/summary.csv and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from magicpig_tpu.config import LSHConfig
+
+from train_needle import (  # noqa: E402
+    BOS, MARK, QUERY, FILLER_LO, FILLER_HI, KEY_LO, KEY_HI, VAL_LO, VAL_HI,
+    load_params, model_config,
+)
+
+
+def estimator_configs(K: int, L: int):
+    """Mirrors the reference's evaluated systems (`model_wrappers.py:25-32`):
+    full, MagicPIG-LSH, Quest, TopK oracle — plus the TPU-native
+    block_topk flagship (bf16 and int8)."""
+    base = dict(num_sink_tokens=4, num_local_tokens=64,
+                generation_buffer=128)
+    return {
+        "full": LSHConfig(K=0, L=0, **base),
+        f"lsh_K{K}L{L}": LSHConfig(K=K, L=L, decode_mode="masked", **base),
+        f"lsh_K{K}L{L}_int8": LSHConfig(K=K, L=L, decode_mode="masked",
+                                        offload_quant="int8", **base),
+        "quest_4pct": LSHConfig(K=1, L=0, estimator="quest",
+                                quest_page_size=16, quest_budget_frac=0.04,
+                                dense_layers=(0,), **base),
+        "block_topk_8pct": LSHConfig(K=1, L=0, estimator="block_topk",
+                                     block_topk_block_size=256,
+                                     block_topk_budget_frac=0.08,
+                                     offload_quant="int8",
+                                     dense_layers=(0,), **base),
+        "topk_2pct": LSHConfig(K=1, L=0, estimator="topk",
+                               topk_budget_frac=0.02, dense_layers=(0,),
+                               **base),
+    }
+
+
+def make_eval_sample(rng: np.random.Generator, ctx: int, n_needles: int):
+    """One haystack with the queried needle forced deep into the offload
+    region (>= 256 tokens from the end, beyond sink+local+buffer)."""
+    toks = rng.integers(FILLER_LO, FILLER_HI, size=ctx)
+    toks[0] = BOS
+    keys = rng.choice(np.arange(KEY_LO, KEY_HI), size=n_needles,
+                      replace=False)
+    vals = rng.integers(VAL_LO, VAL_HI, size=n_needles)
+    pos = np.sort(rng.choice(np.arange(8, ctx - 256 - 3 * n_needles),
+                             size=n_needles, replace=False))
+    for i, p in enumerate(pos):
+        toks[p:p + 3] = (MARK, keys[i], vals[i])
+    qi = rng.integers(0, n_needles)
+    return toks.astype(np.int32), int(keys[qi]), int(vals[qi])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", type=str, default="data/needle_ckpt.npz")
+    ap.add_argument("--contexts", type=str, default="2048,4096,8192")
+    ap.add_argument("--samples", type=int, default=200)
+    ap.add_argument("--needles", type=int, default=4)
+    ap.add_argument("--K", type=int, default=10)
+    ap.add_argument("--L", type=int, default=150)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--out", type=str, default="results/estimator_accuracy")
+    args = ap.parse_args()
+
+    import jax
+
+    from magicpig_tpu.runtime.engine import LLM
+
+    contexts = [int(c) for c in args.contexts.split(",")]
+    cfg = model_config()
+    max_len = max(contexts) + 256
+    params = load_params(args.ckpt, cfg, max_len)
+    os.makedirs(args.out, exist_ok=True)
+    rows = []
+
+    for ctx in contexts:
+        samples = []
+        rng = np.random.default_rng(args.seed + ctx)
+        for _ in range(args.samples):
+            samples.append(make_eval_sample(rng, ctx, args.needles))
+        for name, lsh in estimator_configs(args.K, args.L).items():
+            llm = LLM(cfg, batch_size=1, max_length=ctx + 256,
+                      chunk_size=min(2048, ctx), params=params, lsh=lsh,
+                      seed=0)
+            snap = llm.sparsity_snapshot()
+            correct = 0
+            t0 = time.time()
+            for toks, kq, vq in samples:
+                llm.release_slot(0)
+                llm.prefill(toks, request_id=0)
+                llm.inference(np.asarray([QUERY], np.int32))
+                logits = llm.inference(np.asarray([kq], np.int32))
+                if int(np.asarray(logits)[0].argmax()) == vq:
+                    correct += 1
+            acc = correct / len(samples)
+            spars = llm.avg_sparsity_since(snap)
+            rows.append((ctx, name, acc, spars))
+            print(f"ctx={ctx} {name}: acc={acc:.3f} "
+                  f"sparsity={spars:.4f} ({time.time() - t0:.0f}s)",
+                  flush=True)
+            del llm
+
+    with open(os.path.join(args.out, "summary.csv"), "w") as f:
+        f.write("context,estimator,accuracy,avg_sparsity\n")
+        for ctx, name, acc, spars in rows:
+            f.write(f"{ctx},{name},{acc:.4f},{spars:.4f}\n")
+
+    names = list(estimator_configs(args.K, args.L))
+    print("\n| context | " + " | ".join(names) + " |")
+    print("|---" * (len(names) + 1) + "|")
+    for ctx in contexts:
+        cells = []
+        for n in names:
+            acc = next(a for c, nm, a, _ in rows if c == ctx and nm == n)
+            cells.append(f"{acc:.3f}")
+        print(f"| {ctx} | " + " | ".join(cells) + " |")
+    print(f"\nwrote {args.out}/summary.csv")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Train a small retrieval (needle-in-haystack) model from scratch on TPU.
+
+Why this exists: the reference's accuracy claims are made with pretrained
+checkpoints (`/root/reference/README.md:37-45`); this image ships no
+checkpoint and has no network egress, so estimator-quality evidence must
+come from weights trained here. This script trains a compact Llama-family
+model (same `magicpig_tpu.models.llama` functions the engine serves) on a
+RULER-niah-shaped task — haystack of filler tokens, needle "key value"
+pairs, final query asking for one key's value — until retrieval accuracy
+saturates. `examples/estimator_accuracy.py` then scores full vs lsh vs
+quest vs block_topk vs topk on held-out samples with these REAL trained
+weights (real induction-head attention distributions, not synthetic
+planted scores).
+
+Token layout (single-token keys/values, disjoint vocab ranges):
+  [BOS] filler... [MARK] k v filler... [Q] k_q -> answer v_q
+Multiple needles per sample (the queried one plus distractors) make the
+task a niah_multikey analogue — estimator precision matters, not just
+recall of one hot token.
+
+Run: python examples/train_needle.py --steps 3000 --out data/needle_ckpt.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from magicpig_tpu.config import ModelConfig
+from magicpig_tpu.models.llama import (
+    LlamaParams,
+    init_params,
+    post_attention,
+    qkv_proj,
+    unembed,
+)
+from magicpig_tpu.ops.attention import flash_prefill
+
+# -- vocabulary ---------------------------------------------------------------
+PAD, BOS, MARK, QUERY = 0, 1, 2, 3
+FILLER_LO, FILLER_HI = 8, 448      # haystack noise tokens
+KEY_LO, KEY_HI = 448, 704          # needle keys
+VAL_LO, VAL_HI = 704, 960          # needle values
+VOCAB = 1024
+
+
+def model_config(dtype=jnp.float32) -> ModelConfig:
+    """d=64 / GQA — the flagship kernel regime, sized to train in minutes."""
+    return ModelConfig(
+        name="needle-12m",
+        vocab_size=VOCAB,
+        hidden_size=256,
+        intermediate_size=768,
+        num_hidden_layers=4,
+        num_attention_heads=8,
+        num_key_value_heads=4,
+        head_dim=64,
+        rope_theta=10000.0,
+        rope_scaling=None,
+        max_position_embeddings=32768,
+        eos_token_ids=(PAD,),
+        dtype=dtype,
+    )
+
+
+def make_batch(rng: np.random.Generator, batch: int, seq: int,
+               n_needles: int = 4):
+    """Returns (tokens [B, seq] int32, answer [B] int32). The answer token
+    is the target for the LAST position (the model sees ... [Q] k_q and
+    must emit v_q)."""
+    toks = rng.integers(FILLER_LO, FILLER_HI, size=(batch, seq))
+    keys = np.stack([rng.choice(np.arange(KEY_LO, KEY_HI), size=n_needles,
+                                replace=False) for _ in range(batch)])
+    vals = rng.integers(VAL_LO, VAL_HI, size=(batch, n_needles))
+    # Needle positions: anywhere in [1, seq-3-3*n) spaced by 3 slots.
+    answers = np.zeros((batch,), np.int64)
+    for b in range(batch):
+        pos = np.sort(rng.choice(np.arange(1, seq - 2 - 3 * n_needles),
+                                 size=n_needles, replace=False))
+        for i, p in enumerate(pos):
+            toks[b, p:p + 3] = (MARK, keys[b, i], vals[b, i])
+        qi = rng.integers(0, n_needles)
+        answers[b] = vals[b, qi]
+        toks[b, seq - 2] = QUERY
+        toks[b, seq - 1] = keys[b, qi]
+    toks[:, 0] = BOS
+    return toks.astype(np.int32), answers.astype(np.int32)
+
+
+def forward_last(params: LlamaParams, cfg: ModelConfig, tokens: jnp.ndarray):
+    """Full-sequence causal forward; returns logits at the LAST position
+    [B, V] (the training signal is the queried value)."""
+    b, s = tokens.shape
+    hidden = params.embed[tokens]
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    for i in range(cfg.num_hidden_layers):
+        lp = params.layers.layer(i)
+        q, k, v = qkv_proj(lp, cfg, hidden, positions, params.cos, params.sin)
+        o = flash_prefill(q, k, v, jnp.int32(0), jnp.int32(s),
+                          block_k=min(1024, s))
+        attn = o.reshape(b, s, -1)
+        hidden = post_attention(lp, cfg, attn, hidden)
+    return unembed(params, cfg, hidden[:, -1])
+
+
+def save_params(params: LlamaParams, path: str):
+    leaves, treedef = jax.tree.flatten(params)
+    np.savez(path, n=len(leaves), treedef=str(treedef),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_params(path: str, cfg: ModelConfig, max_len: int) -> LlamaParams:
+    """Rebuild the pytree using a template from init_params (structure is
+    config-determined; saved leaves must match shapes except the RoPE
+    caches, which are regenerated for max_len)."""
+    data = np.load(path, allow_pickle=False)
+    template = init_params(cfg, jax.random.key(0), max_len)
+    leaves, treedef = jax.tree.flatten(template)
+    saved = [data[f"leaf_{i}"] for i in range(int(data["n"]))]
+    out = []
+    for t, s in zip(leaves, saved):
+        if t.shape == s.shape:
+            out.append(jnp.asarray(s, t.dtype))
+        else:   # cos/sin caches sized for a different max_len
+            out.append(t)
+    return jax.tree.unflatten(treedef, out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--needles", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=str, default="data/needle_ckpt.npz")
+    ap.add_argument("--init", type=str, default=None,
+                    help="checkpoint to continue from (curriculum stages: "
+                         "train short first, then longer contexts so RoPE "
+                         "sees every needle->query distance the eval uses)")
+    args = ap.parse_args()
+
+    import optax
+
+    cfg = model_config()
+    if args.init:
+        params = load_params(args.init, cfg, args.seq)
+    else:
+        params = init_params(cfg, jax.random.key(args.seed), args.seq)
+    tx = optax.adamw(optax.cosine_decay_schedule(args.lr, args.steps, 0.1),
+                     weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, tokens, answers):
+        def loss_fn(p):
+            logits = forward_last(p, cfg, tokens)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, answers).mean(), logits
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = (logits.argmax(-1) == answers).mean()
+        return params, opt_state, loss, acc
+
+    rng = np.random.default_rng(args.seed + 1)
+    t0 = time.time()
+    for i in range(args.steps):
+        toks, ans = make_batch(rng, args.batch, args.seq, args.needles)
+        params, opt_state, loss, acc = step(params, opt_state,
+                                            jnp.asarray(toks),
+                                            jnp.asarray(ans))
+        if i % 100 == 0 or i == args.steps - 1:
+            print(f"step {i}: loss {float(loss):.4f} acc {float(acc):.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    save_params(params, args.out)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,57 +69,77 @@ def _kernel(q_ref, k_ref, v_ref, ksc_ref, vsc_ref, norm_ref, mask_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         c_ref[:] = jnp.zeros_like(c_ref)
 
-    q = q_ref[0, 0]                                     # [G, d]
-    g = q.shape[0]
+    # q is packed fold-major [GF, 128]: row f*G + g holds q_g in lanes
+    # f*d..(f+1)*d (zeros elsewhere), so ONE MXU dot scores every fold slot
+    # (the per-fold [G, d] dots of the first version left the MXU
+    # row-starved — same finding as the block_topk scorer, score.py).
+    q2 = q_ref[0, 0]                                    # [GF, 128]
+    gf = q2.shape[0]
+    g = gf // fold
     k = k_ref[0, 0]                                     # [rows, lane]
     v = v_ref[0, 0]
     norm3 = norm_ref[0, 0]                              # [fold, rows]
-    mask4 = mask_ref[0, 0]                              # [G, fold, rows]
-    qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=-1,
-                          keepdims=True))               # [G, 1]
+    mask2 = mask_ref[0, 0]                              # [GF, rows] i32
+    # Row norms of q2 = |q_g| (each row holds exactly one copy of q_g).
+    qn = jnp.sqrt(jnp.sum(q2.astype(jnp.float32) ** 2, axis=-1,
+                          keepdims=True))               # [GF, 1]
 
-    # Each fold slot is its own online-softmax sub-block: Mosaic cannot
-    # lane-concatenate MXU outputs ("offset mismatch"), and the online
-    # update is associative anyway.
+    kd = jnp.bfloat16 if quant else k.dtype
+    raw = jax.lax.dot_general(
+        q2.astype(kd), k.astype(kd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [GF, rows]
+    if quant:
+        sc = ksc_ref[0, 0]                              # [fold, rows]
+        ks8 = jnp.concatenate(
+            [sc[f:f + 1] for f in range(fold) for _ in range(g)], axis=0)
+        raw = raw * ks8
+    kn8 = jnp.concatenate(
+        [norm3[f:f + 1] for f in range(fold) for _ in range(g)], axis=0)
+
+    sel = mask2 > 0                                     # [GF, rows]
+    cosv = raw / jnp.maximum(qn * kn8, 1e-20)
+    cosv = jnp.clip(cosv, -1.0, 1.0)
+    p_bit = 1.0 - _acos(cosv) / math.pi
+    p_tab = p_bit ** K
+    q_tab = 1.0 - p_tab
+    w = 1.0 - q_tab ** (L - 1) * (L * p_tab + q_tab)
+    s = raw * sm_scale - jnp.log(w + 1e-4)
+    s = jnp.where(sel, s, _NEG)
+
+    # One online-softmax update per grid step; per-head stats reduce the
+    # fold row-groups with G-sublane slices (block_attend's pattern).
+    m_prev = m_ref[:]                                   # [G, 128]
+    mrow = jnp.max(s, axis=-1, keepdims=True)           # [GF, 1]
+    mg = mrow[:g]
+    for f in range(1, fold):
+        mg = jnp.maximum(mg, mrow[f * g:(f + 1) * g])
+    m_new = jnp.maximum(m_prev, mg)                     # [G, 128]
+    alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
+    m8 = jnp.concatenate([m_new[:, :1]] * fold, axis=0)  # [GF, 1]
+    p = jnp.exp(s - m8) * sel.astype(jnp.float32)       # [GF, rows]
+    lrow = jnp.sum(p, axis=-1, keepdims=True)           # [GF, 1]
+    crow = jnp.sum(sel.astype(jnp.float32), axis=-1, keepdims=True)
+    lg, cg = lrow[:g], crow[:g]
+    for f in range(1, fold):
+        lg = lg + lrow[f * g:(f + 1) * g]
+        cg = cg + crow[f * g:(f + 1) * g]
+    l_ref[:] = l_ref[:] * alpha + lg
+    c_ref[:] = c_ref[:] + cg
+    if quant:
+        vsc = vsc_ref[0, 0]                             # [fold, rows]
+        vs8 = jnp.concatenate(
+            [vsc[f:f + 1] for f in range(fold) for _ in range(g)], axis=0)
+        p = p * vs8   # scale rides p so V DMAs stay raw int8 (block_attend)
+    vdt = jnp.bfloat16 if quant else v.dtype
+    pv = jnp.zeros_like(acc_ref)
     for f in range(fold):
-        ks = k[:, f * d:(f + 1) * d]                    # [rows, d]
-        if quant:
-            ks = ks.astype(jnp.bfloat16)
-        raw = jax.lax.dot_general(
-            q.astype(ks.dtype), ks, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # [G, rows]
-        if quant:
-            # per-token K scale, fold-major [1, rows] slice
-            raw = raw * ksc_ref[0, 0, f:f + 1, :]
-        sel = mask4[:, f, :] > 0                        # [G, rows]
-        knorm = norm3[f:f + 1, :]                       # [1, rows]
-
-        cosv = raw / jnp.maximum(qn * knorm, 1e-20)
-        cosv = jnp.clip(cosv, -1.0, 1.0)
-        p_bit = 1.0 - _acos(cosv) / math.pi
-        p_tab = p_bit ** K
-        q_tab = 1.0 - p_tab
-        w = 1.0 - q_tab ** (L - 1) * (L * p_tab + q_tab)
-        s = raw * sm_scale - jnp.log(w + 1e-4)
-        s = jnp.where(sel, s, _NEG)
-
-        m_prev = m_ref[:]                               # [G, 128]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
-        p = jnp.exp(s - m_new[:, :1]) * sel.astype(jnp.float32)
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        c_ref[:] = c_ref[:] + jnp.sum(sel.astype(jnp.float32), axis=-1,
-                                      keepdims=True)
-        vs = v[:, f * d:(f + 1) * d]                    # [rows, d]
-        if quant:
-            vscale = vsc_ref[0, 0, 0][:, f:f + 1]       # [rows, 1]
-            vs = (vs.astype(jnp.float32) * vscale).astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p.astype(vs.dtype), vs, (((1,), (0,)), ((), ())),
+        pf = p[f * g:(f + 1) * g]                       # [G, rows]
+        vf = v[:, f * d:(f + 1) * d]                    # [rows, d]
+        pv = pv + jax.lax.dot_general(
+            pf.astype(vdt), vf.astype(vdt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = m_new
 
     @pl.when(c == nc - 1)
     def _():
@@ -169,29 +189,43 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     s = k_centered.shape[2] * k_centered.shape[3] // d  # may arrive folded
     g = hq // hkv
     fold = max(128 // d, 1)
+    gf = g * fold
     blk = min(block_tokens, s)
+    # Cap the double-buffered K/V blocks at ~2 MB of VMEM each (mirrors the
+    # scorer); larger blocks amortize the per-grid-step overheads.
+    lane = 128 if fold > 1 else d
+    while (blk > fold * 32
+           and (blk // fold) * lane * k_centered.dtype.itemsize > 2 << 20):
+        blk //= 2
+    while s % blk:
+        blk //= 2
     assert s % blk == 0 and blk % (fold * 32) == 0, (s, blk, fold)
     rows = blk // fold
-    lane = 128 if fold > 1 else d
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     quant = k_scale is not None
 
+    # q packed fold-major [GF, 128] (UNSCALED — the kernel needs raw q.k
+    # for the debias cos and derives |q| from the packed rows).
     qh = q.reshape(b, hkv, g, d)
+    q2 = jnp.zeros((b, hkv, gf, lane), q.dtype)
+    for f in range(fold):
+        q2 = jax.lax.dynamic_update_slice(q2, qh, (0, 0, f * g, f * d))
     k2 = k_centered.reshape(b, hkv, s // fold, lane)
     v2 = v.reshape(b, hkv, s // fold, lane)
     # Fold-permuted streams: token t = R*fold + f -> [.., f, R].
     norm_f = k_norm.astype(jnp.float32).reshape(
         b, hkv, s // fold, fold).transpose(0, 1, 3, 2)   # [B,Hkv,fold,S/f]
+    # Mask in the scorer's fold-major row order (row f*G + g, col R).
     mask_f = mask.astype(jnp.int32).reshape(
-        b, hkv, g, s // fold, fold).transpose(0, 1, 2, 4, 3)
+        b, hkv, g, s // fold, fold).transpose(0, 1, 4, 2, 3).reshape(
+        b, hkv, gf, s // fold)
     if quant:
         assert k_scale.shape == (b, hkv, fold, s // fold), k_scale.shape
         ksc_f = k_scale.astype(jnp.float32)  # already fold-major (state.py)
-        vsc_f = v_scale.astype(jnp.float32).transpose(0, 1, 3, 2).reshape(
-            b, hkv, 1, s // fold, fold)  # rows-major for [rows, 1] slices
+        vsc_f = v_scale.astype(jnp.float32)
     else:
         ksc_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)
-        vsc_f = jnp.zeros((b, hkv, 1, s // fold, fold), jnp.float32)
+        vsc_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)
 
     kernel = functools.partial(_kernel, fold=fold, d=d, K=K, L=L,
                                sm_scale=scale, quant=quant)
@@ -199,17 +233,16 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
         kernel,
         grid=(b, hkv, s // blk),
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), _iq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gf, lane), _iq, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, fold, rows), _inorm,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, rows, fold),
-                         lambda b, h, c: (b, h, 0, c, 0),
+            pl.BlockSpec((1, 1, fold, rows), _inorm,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, fold, rows), _inorm,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g, fold, rows), _imask,
+            pl.BlockSpec((1, 1, gf, rows), _inorm,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -229,7 +262,7 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
             pltpu.VMEM((g, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qh, k2, v2, ksc_f, vsc_f, norm_f, mask_f)
+    )(q2, k2, v2, ksc_f, vsc_f, norm_f, mask_f)
     return (out.reshape(b, hq, d), lse[..., 0].reshape(b, hq),
             cnt[..., 0].reshape(b, hq))
 

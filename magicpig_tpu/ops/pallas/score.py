@@ -63,11 +63,16 @@ def _kernel(q_ref, k_ref, scale_ref, mask_ref, o_ref, bm_ref, *, fold: int,
     if bm_ref is not None:
         # Fused block ranking: max over the GQA group and each ranking
         # block's columns (static slices — a lane-splitting reshape would
-        # not lower).
+        # not lower). Each block's max is broadcast over the 128-lane minor
+        # dim: a (nbs, 128) store tiles legally where a (1, nbs) one does
+        # not (Mosaic requires the last two block dims % (8, 128) or equal
+        # to the array dims).
         nbs = raw.shape[1] // bs_cols
         bm = jnp.concatenate(
-            [jnp.max(raw[:, j * bs_cols:(j + 1) * bs_cols], axis=(0, 1),
-                     keepdims=True) for j in range(nbs)], axis=1)  # [1, nbs]
+            [jnp.broadcast_to(
+                jnp.max(raw[:, j * bs_cols:(j + 1) * bs_cols], axis=(0, 1),
+                        keepdims=True), (1, 128)) for j in range(nbs)],
+            axis=0)                                     # [nbs, 128]
         bm_ref[0, 0] = bm
 
 
@@ -88,7 +93,7 @@ def _imask(b, h, c):
 
 
 def _ibm(b, h, c):
-    return (b, h, 0, c)
+    return (b, h, c, 0)
 
 
 def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
@@ -142,9 +147,14 @@ def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
     if rank_block is not None:
         nb = s // rank_block
         nbs = blk // rank_block
-        out_specs.append(pl.BlockSpec((1, 1, 1, nbs), _ibm,
+        assert nbs == nb or nbs % 8 == 0, (
+            f"block-max store needs blk/rank_block % 8 == 0 or one grid "
+            f"step covering the whole sequence (blk={blk}, "
+            f"rank_block={rank_block}, S={s})")
+        out_specs.append(pl.BlockSpec((1, 1, nbs, 128), _ibm,
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((b, hkv, 1, nb), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, hkv, nb, 128),
+                                              jnp.float32))
     else:
         kernel = functools.partial(_nobm_kernel, inner=kernel)
 
@@ -162,7 +172,7 @@ def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
         interpret=interpret,
     )(q2, k2, scale_f, mask4)
     if rank_block is not None:
-        return res[0], res[1][:, :, 0]                  # scores, [B,Hkv,nb]
+        return res[0], res[1][..., 0]                   # scores, [B,Hkv,nb]
     return res
 
 

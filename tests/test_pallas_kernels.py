@@ -228,7 +228,9 @@ def test_exact_scores_ranked_fused_mask_and_blockmax(quant, D):
     from magicpig_tpu.ops.quant import dequantize_rows, quantize_rows
 
     rng = np.random.default_rng(3)
-    B, HKV, G, S, BS = 2, 2, 4, 512, 64
+    # block_tokens=512 with BS=64 -> 8 ranking blocks per grid step (the
+    # block-max store needs a multiple of 8 rows, or one step covering S).
+    B, HKV, G, S, BS = 2, 2, 4, 1024, 64
     fold = max(128 // D, 1)
     length = jnp.asarray([S - 37, S // 2], jnp.int32)
     q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
@@ -243,7 +245,7 @@ def test_exact_scores_ranked_fused_mask_and_blockmax(quant, D):
 
     mask = length_mask(length, S, fold)
     scores_f, blk_max = exact_scores_ranked(q, karg, sarg, mask, BS,
-                                            block_tokens=256, interpret=True)
+                                            block_tokens=512, interpret=True)
 
     # Oracle: token-order scores, where-masked, per-block GQA max.
     ref = jnp.einsum("bhgd,bhsd->bhgs",
