@@ -69,12 +69,34 @@ def _enable_compile_cache():
 def worker(args):
     """Measure one (mode, B) in this process; print WORKER:{json}."""
     _enable_compile_cache()
+    import dataclasses
+
     from magicpig_tpu.config import preset
     from magicpig_tpu.runtime.engine import LLM
     from magicpig_tpu.runtime.synthetic import synthetic_prefill
 
     t0 = time.perf_counter()
     cfg = preset(args.model)
+    if args.weight_quant != "none":
+        cfg = dataclasses.replace(cfg, weight_quant=args.weight_quant)
+    if args.worker == "prefill":
+        # Real chunked-prefill wall time at context P (flagship estimator
+        # state build included: centering, quant, landmarks/planes).
+        lsh = make_lsh("block_topk", args.K, args.L)
+        llm = LLM(cfg, batch_size=1, max_length=args.M, lsh=lsh, seed=0)
+        ids = np.random.default_rng(0).integers(
+            1, cfg.vocab_size, size=args.P).astype(np.int32)
+        import jax
+        jax.block_until_ready(llm.prefill(ids))   # compile + run
+        print(f"# worker[prefill]: compiled at "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+        llm.clear()
+        t1 = time.perf_counter()
+        jax.block_until_ready(llm.prefill(ids))
+        dt = time.perf_counter() - t1
+        print("WORKER:" + json.dumps({"tps": args.P / dt, "sparsity": 0.0}),
+              flush=True)
+        return
     lsh = make_lsh(args.worker, args.K, args.L)
     llm = LLM(cfg, batch_size=args.B, max_length=args.M, lsh=lsh, seed=0)
     synthetic_prefill(llm, args.P, seed=1)
@@ -95,7 +117,10 @@ def worker(args):
     }), flush=True)
 
 
-def analytic_batch(model, mode, K, L, M, hbm_budget, max_b):
+def analytic_batch(model, mode, K, L, M, hbm_budget, max_b,
+                   weight_quant="none"):
+    import dataclasses
+
     import jax
 
     from magicpig_tpu.config import preset
@@ -103,6 +128,8 @@ def analytic_batch(model, mode, K, L, M, hbm_budget, max_b):
     from magicpig_tpu.runtime import state as state_lib
 
     cfg = preset(model)
+    if weight_quant != "none":
+        cfg = dataclasses.replace(cfg, weight_quant=weight_quant)
     lsh = make_lsh(mode, K, L)
     pshapes = jax.eval_shape(lambda: init_params(cfg, jax.random.key(0), M))
     pbytes = sum(np.prod(l.shape) * l.dtype.itemsize
@@ -129,7 +156,7 @@ def main():
     p.add_argument("--B", type=int, default=0,
                    help="fixed batch for ALL modes (0 = per-mode max batch)")
     p.add_argument("--mode", type=str, default="block_topk",
-                   choices=["block_topk", "lsh", "full"],
+                   choices=["block_topk", "lsh", "full", "prefill"],
                    help="flagship mode for the headline JSON")
     p.add_argument("--modes", type=str, default="full,block_topk,lsh",
                    help="comma list of modes to measure")
@@ -137,7 +164,11 @@ def main():
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--baseline-tps", type=float, default=0.0,
                    help="inject a previously-measured full-attention tok/s")
-    p.add_argument("--attempt-timeout", type=int, default=700)
+    p.add_argument("--weight-quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8 = W8A8 weights (QuantWeight): halves weight "
+                        "HBM and doubles MXU rate for the projections")
+    p.add_argument("--attempt-timeout", type=int, default=1000)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--worker", type=str, default=None, help=argparse.SUPPRESS)
     args = p.parse_args()
@@ -150,6 +181,8 @@ def main():
         return
 
     wanted = args.modes.split(",") + [args.mode]
+    # prefill is B=1 by construction
+
     if args.baseline_tps <= 0 and args.mode != "full":
         wanted.append("full")
     modes = list(dict.fromkeys(m for m in wanted if m))
@@ -158,12 +191,13 @@ def main():
           file=sys.stderr)
     results = {}
     for mode in modes:
-        if args.B > 0:
-            B = args.B
+        if mode == "prefill" or args.B > 0:
+            B = max(args.B, 1)
         else:
             B, pbytes, per_req, pad = analytic_batch(
                 args.model, mode, args.K, args.L, args.M,
-                args.hbm_gb * 1e9, args.max_batch)
+                args.hbm_gb * 1e9, args.max_batch,
+                weight_quant=args.weight_quant)
             print(f"# {mode}: params {pbytes/1e9:.2f} GB, state/req "
                   f"{per_req/1e9:.2f} GB (pad x{pad}) -> B={B}",
                   file=sys.stderr)
@@ -173,7 +207,8 @@ def main():
                    "--worker", mode, "--B", str(B)]
             for flag, val in (("--model", args.model), ("--P", args.P),
                               ("--M", args.M), ("--G", args.G),
-                              ("--K", args.K), ("--L", args.L)):
+                              ("--K", args.K), ("--L", args.L),
+                              ("--weight-quant", args.weight_quant)):
                 cmd += [flag, str(val)]
             try:
                 out = subprocess.run(

@@ -36,6 +36,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".cache",
+                               "jax"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 from magicpig_tpu.config import ModelConfig
 from magicpig_tpu.models.llama import (
     LlamaParams,
@@ -75,42 +81,56 @@ def model_config(dtype=jnp.float32) -> ModelConfig:
 
 def make_batch(rng: np.random.Generator, batch: int, seq: int,
                n_needles: int = 4):
-    """Returns (tokens [B, seq] int32, answer [B] int32). The answer token
-    is the target for the LAST position (the model sees ... [Q] k_q and
-    must emit v_q)."""
+    """Returns (tokens [B, seq] i32, target [B, seq] i32, mask [B, seq]
+    bool). Every needle is queried in a tail block "[Q] k v [Q] k v ...";
+    the loss applies at each value position (predict v from ... [Q] k) —
+    one signal per needle per sequence, which is what makes the retrieval
+    circuit actually trainable (a single last-token signal was too sparse
+    to bootstrap)."""
+    qlen = 3 * n_needles
     toks = rng.integers(FILLER_LO, FILLER_HI, size=(batch, seq))
     keys = np.stack([rng.choice(np.arange(KEY_LO, KEY_HI), size=n_needles,
                                 replace=False) for _ in range(batch)])
     vals = rng.integers(VAL_LO, VAL_HI, size=(batch, n_needles))
-    # Needle positions: anywhere in [1, seq-3-3*n) spaced by 3 slots.
-    answers = np.zeros((batch,), np.int64)
+    target = np.zeros((batch, seq), np.int64)
+    mask = np.zeros((batch, seq), bool)
     for b in range(batch):
-        pos = np.sort(rng.choice(np.arange(1, seq - 2 - 3 * n_needles),
+        pos = np.sort(rng.choice(np.arange(1, seq - qlen - 3 * n_needles),
                                  size=n_needles, replace=False))
         for i, p in enumerate(pos):
             toks[b, p:p + 3] = (MARK, keys[b, i], vals[b, i])
-        qi = rng.integers(0, n_needles)
-        answers[b] = vals[b, qi]
-        toks[b, seq - 2] = QUERY
-        toks[b, seq - 1] = keys[b, qi]
+        order = rng.permutation(n_needles)
+        base = seq - qlen
+        for j, qi in enumerate(order):
+            toks[b, base + 3 * j:base + 3 * j + 3] = (
+                QUERY, keys[b, qi], vals[b, qi])
+            # position of k predicts v (next-token loss at index of k).
+            target[b, base + 3 * j + 1] = vals[b, qi]
+            mask[b, base + 3 * j + 1] = True
     toks[:, 0] = BOS
-    return toks.astype(np.int32), answers.astype(np.int32)
+    return (toks.astype(np.int32), target.astype(np.int32), mask)
 
 
-def forward_last(params: LlamaParams, cfg: ModelConfig, tokens: jnp.ndarray):
-    """Full-sequence causal forward; returns logits at the LAST position
-    [B, V] (the training signal is the queried value)."""
+def forward_all(params: LlamaParams, cfg: ModelConfig, tokens: jnp.ndarray):
+    """Full-sequence causal forward; returns logits at EVERY position
+    [B, S, V]. Each layer is rematerialized (jax.checkpoint): the
+    flash-attention backward otherwise stacks per-KV-block softmax
+    residuals across the scan and OOMs at batch x 2048 on one chip."""
     b, s = tokens.shape
     hidden = params.embed[tokens]
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
-    for i in range(cfg.num_hidden_layers):
-        lp = params.layers.layer(i)
+
+    @jax.checkpoint
+    def layer_fwd(lp, hidden):
         q, k, v = qkv_proj(lp, cfg, hidden, positions, params.cos, params.sin)
         o = flash_prefill(q, k, v, jnp.int32(0), jnp.int32(s),
-                          block_k=min(1024, s))
+                          block_k=min(512, s))
         attn = o.reshape(b, s, -1)
-        hidden = post_attention(lp, cfg, attn, hidden)
-    return unembed(params, cfg, hidden[:, -1])
+        return post_attention(lp, cfg, attn, hidden)
+
+    for i in range(cfg.num_hidden_layers):
+        hidden = layer_fwd(params.layers.layer(i), hidden)
+    return unembed(params, cfg, hidden)
 
 
 def save_params(params: LlamaParams, path: str):
@@ -163,24 +183,29 @@ def main():
     opt_state = tx.init(params)
 
     @jax.jit
-    def step(params, opt_state, tokens, answers):
+    def step(params, opt_state, tokens, target, mask):
         def loss_fn(p):
-            logits = forward_last(p, cfg, tokens)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                logits, answers).mean(), logits
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            logits = forward_all(p, cfg, tokens)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, target)
+            m = mask.astype(jnp.float32)
+            loss = (ce * m).sum() / jnp.maximum(m.sum(), 1)
+            acc = ((logits.argmax(-1) == target) * m).sum() / jnp.maximum(
+                m.sum(), 1)
+            return loss, acc
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        acc = (logits.argmax(-1) == answers).mean()
         return params, opt_state, loss, acc
 
     rng = np.random.default_rng(args.seed + 1)
     t0 = time.time()
     for i in range(args.steps):
-        toks, ans = make_batch(rng, args.batch, args.seq, args.needles)
+        toks, tgt, msk = make_batch(rng, args.batch, args.seq, args.needles)
         params, opt_state, loss, acc = step(params, opt_state,
                                             jnp.asarray(toks),
-                                            jnp.asarray(ans))
+                                            jnp.asarray(tgt),
+                                            jnp.asarray(msk))
         if i % 100 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.4f} acc {float(acc):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)

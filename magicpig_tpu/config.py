@@ -55,6 +55,12 @@ class ModelConfig:
     # (t - window, t]. None = full causal (reference fork supports the
     # window, `evaluations/RULER/pred/mistral_ref.py:305`).
     sliding_window: int | None = None
+    # Weight storage: "int8" = W8A8 per-channel weights + dynamic per-token
+    # activation quant on the native s8 MXU path (models/llama.py
+    # QuantWeight) — halves weight HBM (decode at small batch is
+    # weight-bandwidth-bound) and is what fits 8B-class models on a 16 GB
+    # chip at 96K context.
+    weight_quant: str = "none"
 
     @property
     def num_key_value_groups(self) -> int:

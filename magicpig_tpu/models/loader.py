@@ -64,7 +64,7 @@ def params_from_state_dict(config: ModelConfig, sd: dict, max_len: int,
     else:
         lm_head = jnp.asarray(get("lm_head.weight").T, dt)
     cos, sin = rope_cos_sin(config, max_len)
-    return LlamaParams(
+    params = LlamaParams(
         embed=embed,
         lm_head=lm_head,
         final_ln=jnp.asarray(get("model.norm.weight"), dt),
@@ -72,6 +72,11 @@ def params_from_state_dict(config: ModelConfig, sd: dict, max_len: int,
         cos=cos,
         sin=sin,
     )
+    if config.weight_quant == "int8":
+        from magicpig_tpu.models.llama import quantize_params
+
+        params = quantize_params(params)
+    return params
 
 
 def load_checkpoint(path: str, max_len: int, dtype=None):

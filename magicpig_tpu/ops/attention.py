@@ -77,6 +77,15 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q_pos = q_offset + jnp.arange(sq)  # [Sq]
 
     num_blocks = (skv + block_k - 1) // block_k
+    # Only blocks that intersect [lo, kv_len) contribute: kv_len bounds the
+    # filled prefix (causal triangle — without this every query chunk would
+    # pay the full S scan, doubling prefill FLOPs at long context) and with
+    # a sliding window blocks entirely behind every query are dead too.
+    nblk_dyn = jnp.minimum((kv_len + block_k - 1) // block_k, num_blocks)
+    if window is not None:
+        blk_lo = jnp.maximum(q_offset - (window - 1), 0) // block_k
+    else:
+        blk_lo = jnp.int32(0)
 
     def body(carry, blk):
         m, l, acc = carry
@@ -110,8 +119,9 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     m0 = jnp.full((b, hkv, g, sq), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, hkv, g, sq), jnp.float32)
     acc0 = jnp.zeros((b, hkv, g, sq, d), jnp.float32)
-    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0),
-                                  jnp.arange(num_blocks))
+    m, l, acc = jax.lax.fori_loop(
+        blk_lo, nblk_dyn,
+        lambda blk, carry: body(carry, blk)[0], (m0, l0, acc0))
     out = acc / _safe_denom(l)[..., None]
     return out.reshape(b, hq, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)
 

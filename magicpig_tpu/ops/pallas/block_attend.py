@@ -185,9 +185,9 @@ def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
             num_scalar_prefetch=1,
             grid=(b, hkv),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
                 pl.BlockSpec((1, 1, g, d), _io, memory_space=pltpu.VMEM),

@@ -18,8 +18,18 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from magicpig_tpu.models.llama import LayerParams, LlamaParams
+from magicpig_tpu.models.llama import LayerParams, LlamaParams, QuantWeight
 from magicpig_tpu.runtime.state import DecodeState
+
+
+def _wspec(w, spec: P):
+    """Spec for a (possibly int8-quantized) matmul weight: QuantWeight
+    scales live on the OUTPUT channel axis, so their spec is the weight
+    spec with the input axis (-2) dropped."""
+    if isinstance(w, QuantWeight):
+        parts = tuple(spec)
+        return QuantWeight(q=spec, scale=P(*(parts[:-2] + parts[-1:])))
+    return spec
 
 
 def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
@@ -56,20 +66,21 @@ def make_multihost_mesh(n_model: int | None = None) -> Mesh:
 
 def param_pspecs(params: LlamaParams) -> LlamaParams:
     """Megatron TP layout: attention/MLP inner dims on `model`."""
+    lw = params.layers
     layer_specs = LayerParams(
-        wq=P(None, None, "model"),
-        wk=P(None, None, "model"),
-        wv=P(None, None, "model"),
-        wo=P(None, "model", None),
-        w_gate=P(None, None, "model"),
-        w_up=P(None, None, "model"),
-        w_down=P(None, "model", None),
+        wq=_wspec(lw.wq, P(None, None, "model")),
+        wk=_wspec(lw.wk, P(None, None, "model")),
+        wv=_wspec(lw.wv, P(None, None, "model")),
+        wo=_wspec(lw.wo, P(None, "model", None)),
+        w_gate=_wspec(lw.w_gate, P(None, None, "model")),
+        w_up=_wspec(lw.w_up, P(None, None, "model")),
+        w_down=_wspec(lw.w_down, P(None, "model", None)),
         ln_attn=P(None, None),
         ln_mlp=P(None, None),
     )
     return LlamaParams(
         embed=P(None, None),
-        lm_head=P(None, "model"),   # vocab-sharded logits
+        lm_head=_wspec(params.lm_head, P(None, "model")),  # vocab-sharded
         final_ln=P(None),
         layers=layer_specs,
         cos=P(None, None),

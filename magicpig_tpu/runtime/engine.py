@@ -112,17 +112,33 @@ class LLM:
         hidden = params.embed[tokens][None]                  # [1, P, h]
         positions = jnp.arange(p_pad, dtype=jnp.int32)[None]
 
+        # Attention in 1024-query sub-chunks under lax.scan: bounds the
+        # softmax transient to [Hkv, G, sub, sub] (a block_k == chunk_size
+        # einsum materialized ~8.6 GB per 8192-token chunk at 96K) and
+        # keeps the traced graph one sub-chunk per layer. The causal
+        # triangle is preserved by flash_prefill's dynamic KV-block bound.
+        sub = c if c < 1024 or c % 1024 else 1024
+        n_sub = p_pad // sub
+
+        def attn_scan(q, k, v):  # q [1,P,Hq,d]; k/v [1,P,Hkv,d]
+            qs = q.reshape(1, n_sub, sub, q.shape[2], q.shape[3])
+            qs = qs.transpose(1, 0, 2, 3, 4)
+            offs = jnp.arange(n_sub, dtype=jnp.int32) * sub
+
+            def body(_, xs):
+                qj, off = xs
+                o = flash_prefill(qj, k, v, off, off + sub, block_k=sub,
+                                  window=cfg.sliding_window)
+                return None, o
+
+            _, outs = jax.lax.scan(body, None, (qs, offs))
+            outs = outs.transpose(1, 0, 2, 3, 4)
+            return outs.reshape(1, p_pad, -1)                # [1, P, Hq*d]
+
         for i, (kind, gi) in enumerate(self.groups):
             lp = params.layers.layer(i)
             q, k, v = qkv_proj(lp, cfg, hidden, positions, params.cos, params.sin)
-            outs = []
-            for j in range(n_chunks):
-                cs, ce = j * c, (j + 1) * c
-                o = flash_prefill(q[:, cs:ce], k[:, :ce], v[:, :ce],
-                                  jnp.int32(cs), jnp.int32(ce), block_k=c,
-                                  window=cfg.sliding_window)
-                outs.append(o.reshape(1, c, -1))
-            attn = jnp.concatenate(outs, axis=1)             # [1, P, Hq*d]
+            attn = attn_scan(q, k, v)                        # [1, P, Hq*d]
 
             # o_proj + MLP, scan-chunked to bound the [c, inter] transient.
             def mlp_chunk(_, xs):

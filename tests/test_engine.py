@@ -326,3 +326,54 @@ def test_per_task_sparsity_snapshot(tiny_params):
     since = llm.avg_sparsity_since(snap)
     assert 0.0 <= since <= 1.0
     assert llm._sparsity_steps == 8
+
+
+def test_int8_weights_track_bf16(tiny_params):
+    """W8A8 weights (QuantWeight, models/llama.py): logits stay close to
+    the exact-weight engine and greedy decode still works. Per-channel
+    weight + dynamic per-token activation quantization bounds the error."""
+    import dataclasses as dc
+
+    from magicpig_tpu.models.llama import QuantWeight, quantize_params
+
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(1, TINY.vocab_size, size=80).astype(np.int32)
+
+    exact = _make_llm(K=0, L=0, params=tiny_params)
+    ref = np.asarray(exact.prefill(prompt))
+
+    qparams = quantize_params(tiny_params)
+    assert isinstance(qparams.layers.wq, QuantWeight)
+    llm = LLM(_fp32_tiny(), batch_size=1, max_length=MAX_LEN, chunk_size=32,
+              params=qparams,
+              lsh=LSHConfig(K=0, L=0, num_sink_tokens=4, num_local_tokens=16,
+                            generation_buffer=32))
+    got = np.asarray(llm.prefill(prompt))
+    # Quantization noise scales with logit magnitude; demand close logits
+    # and an unchanged top-1 (the decisive bit for greedy decode).
+    assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1) < 0.05
+    assert got[0].argmax() == ref[0].argmax()
+    out = np.asarray(llm.inference(np.asarray([got[0].argmax()])))
+    assert np.isfinite(out).all()
+
+
+def test_int8_weights_sharded(tiny_params):
+    """QuantWeight param pspecs shard q on the weight layout and scales on
+    the output channel (parallel/mesh.py:_wspec)."""
+    from magicpig_tpu.models.llama import quantize_params
+    from magicpig_tpu.parallel.mesh import make_mesh, shard_engine
+
+    qparams = quantize_params(tiny_params)
+    llm = LLM(_fp32_tiny(), batch_size=2, max_length=MAX_LEN, chunk_size=32,
+              params=qparams,
+              lsh=LSHConfig(K=4, L=8, num_sink_tokens=4, num_local_tokens=16,
+                            generation_buffer=32))
+    mesh = make_mesh(2, 2)
+    shard_engine(llm, mesh)
+    rng = np.random.default_rng(10)
+    with mesh:
+        for r in range(2):
+            prompt = rng.integers(1, TINY.vocab_size, size=60).astype(np.int32)
+            llm.prefill(prompt, request_id=r)
+        out = np.asarray(llm.inference(np.zeros((2,), np.int32)))
+    assert np.isfinite(out).all()
