@@ -124,7 +124,7 @@ def forward_all(params: LlamaParams, cfg: ModelConfig, tokens: jnp.ndarray):
     def layer_fwd(lp, hidden):
         q, k, v = qkv_proj(lp, cfg, hidden, positions, params.cos, params.sin)
         o = flash_prefill(q, k, v, jnp.int32(0), jnp.int32(s),
-                          block_k=min(512, s))
+                          block_k=min(512, s), differentiable=True)
         attn = o.reshape(b, s, -1)
         return post_attention(lp, cfg, attn, hidden)
 

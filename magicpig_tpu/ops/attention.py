@@ -53,17 +53,22 @@ def _gqa_reshape(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "sm_scale", "window"))
+@functools.partial(jax.jit, static_argnames=("block_k", "sm_scale", "window",
+                                             "differentiable"))
 def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   q_offset: jnp.ndarray, kv_len: jnp.ndarray,
                   block_k: int = 1024, sm_scale: float | None = None,
-                  window: int | None = None):
+                  window: int | None = None, differentiable: bool = False):
     """Causal attention for a prefill chunk against the filled KV prefix.
 
     q: [B, Sq, Hq, d] — chunk queries at absolute positions q_offset..+Sq.
     k, v: [B, Skv_max, Hkv, d] — cache buffers; only [:kv_len] is valid.
     window: sliding-window size (query t sees keys in (t-window, t]), or
     None for full causal (`mistral_ref.py:305`).
+    differentiable: use a static-bound lax.scan over ALL KV blocks instead
+    of the dynamic-bound fori_loop (reverse-mode AD cannot differentiate a
+    dynamic-bound loop) — training callers set this; inference keeps the
+    causal-triangle skip.
     Returns [B, Sq, Hq, d] in q.dtype.
     """
     b, sq, hq, d = q.shape
@@ -119,9 +124,13 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     m0 = jnp.full((b, hkv, g, sq), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, hkv, g, sq), jnp.float32)
     acc0 = jnp.zeros((b, hkv, g, sq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(
-        blk_lo, nblk_dyn,
-        lambda blk, carry: body(carry, blk)[0], (m0, l0, acc0))
+    if differentiable:
+        (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0),
+                                      jnp.arange(num_blocks))
+    else:
+        m, l, acc = jax.lax.fori_loop(
+            blk_lo, nblk_dyn,
+            lambda blk, carry: body(carry, blk)[0], (m0, l0, acc0))
     out = acc / _safe_denom(l)[..., None]
     return out.reshape(b, hq, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)
 
