@@ -316,12 +316,17 @@ def gen_freq_words(num_samples: int, target_tokens: int, seed: int = 42,
 
 def gen_qa(num_samples: int, target_tokens: int, seed: int = 42,
            dataset: str = "synthetic", tokenizer=None) -> list[dict]:
-    """Multi-document QA. The reference draws documents from SQuAD/HotpotQA
-    (`qa.py`); offline we synthesize fact documents — one holds the queried
-    fact, the rest are distractors."""
+    """Multi-document QA. The reference draws documents from SQuAD (qa_1)
+    and HotpotQA (qa_2) (`qa.py`); offline we synthesize fact documents.
+    dataset="synthetic" (qa_1): single-hop — one document holds the queried
+    fact, the rest are distractors. dataset="synthetic2" (qa_2): TWO-hop
+    like HotpotQA — the answer requires chaining facts from two different
+    documents ("who leads the city where person P was born?"), so partial
+    retrieval of only one supporting document cannot answer."""
     samples = []
     roles = ["founder", "mayor", "curator", "architect", "captain",
              "librarian", "composer", "chancellor"]
+    two_hop = dataset == "synthetic2"
     for idx in range(num_samples):
         rng = random.Random(f"{seed}:{idx}:qa:{dataset}")
 
@@ -333,6 +338,13 @@ def gen_qa(num_samples: int, target_tokens: int, seed: int = 42,
             body = " ".join(_essay_text(r, 80))
             return (f"Document: The {role} of {city} since {year} is "
                     f"{person}. {body}"), (role, city, person)
+
+        def mkbridge(r, person_b, city_b):
+            """Bridge document: ties a person to a birth city."""
+            year = r.randint(1900, 2000)
+            body = " ".join(_essay_text(r, 80))
+            return (f"Document: {person_b} was born in {city_b} in {year}. "
+                    f"{body}")
 
         docs, facts = [], []
         budget = target_tokens - 200
@@ -349,7 +361,17 @@ def gen_qa(num_samples: int, target_tokens: int, seed: int = 42,
                 break
         q_idx = rng.randrange(len(docs))
         role, city, person = facts[q_idx]
-        question = f"Who is the {role} of {city}?"
+        if two_hop:
+            # A bridge person born in `city`; the question chains through
+            # them to the role-holder of that city.
+            bridge = (_synthetic_word(rng, 2) + " "
+                      + _synthetic_word(rng, 3)).title()
+            bdoc = mkbridge(rng, bridge, city)
+            docs.insert(rng.randrange(len(docs) + 1), bdoc)
+            question = (f"Who is the {role} of the city where {bridge} "
+                        f"was born?")
+        else:
+            question = f"Who is the {role} of {city}?"
         context = "\n\n".join(docs)
         prompt = (
             "Answer the question based on the given documents. Only give me "
