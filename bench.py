@@ -138,10 +138,11 @@ def analytic_batch(model, mode, K, L, M, hbm_budget, max_b,
     per_req = sum(np.prod(l.shape) * l.dtype.itemsize
                   for l in jax.tree.leaves(sshapes))
     # All caches store token-folded layouts (lane-perfect, no XLA padding),
-    # so the analytic bound is tight up to per-request decode workspace
-    # (materialized scores etc.); OOM backoff still guards the rest.
-    workspace = 0.72e9 if mode == "block_topk" else 0.1e9
-    b = int((hbm_budget - pbytes) // (per_req + workspace))
+    # so the analytic bound is tight up to the decode-step workspace
+    # (materialized scores etc.) — which is a whole-graph transient, not a
+    # per-request cost; OOM backoff still guards the rest.
+    workspace = 0.8e9 if mode == "block_topk" else 0.2e9
+    b = int((hbm_budget - pbytes - workspace) // per_req)
     return min(max(b, 1), max_b), pbytes, per_req, 1
 
 

@@ -107,7 +107,7 @@ def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
     lane = 128 if fold > 1 else d
     blk = min(block_tokens, s)
     # Cap the double-buffered K block at ~4 MB of VMEM (bf16 K at d=128
-    # would otherwise blow the ~16 MB budget at the 32K-token default).
+    # would otherwise blow the ~16 MB budget at the 64K-token default).
     while blk > fold * 32 and (blk // fold) * lane * k.dtype.itemsize > 4 << 20:
         blk //= 2
     while s % blk:
@@ -185,7 +185,7 @@ def _nobm_kernel(q_ref, k_ref, scale_ref, mask_ref, o_ref, *, inner):
 def exact_scores_folded(q: jax.Array, k: jax.Array,
                         k_scale: jax.Array | None,
                         sm_scale: float | None = None,
-                        block_tokens: int = 32768,
+                        block_tokens: int = 65536,
                         interpret: bool = False) -> jax.Array:
     """Scaled attention scores in fold-major layout (module docstring).
 
@@ -205,7 +205,7 @@ def exact_scores_folded(q: jax.Array, k: jax.Array,
 def exact_scores_ranked(q: jax.Array, k: jax.Array,
                         k_scale: jax.Array | None, mask: jax.Array,
                         rank_block: int, sm_scale: float | None = None,
-                        block_tokens: int = 32768,
+                        block_tokens: int = 65536,
                         interpret: bool = False):
     """Masked scores + fused per-block ranking max (module docstring).
 
