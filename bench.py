@@ -165,10 +165,12 @@ def main():
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--baseline-tps", type=float, default=0.0,
                    help="inject a previously-measured full-attention tok/s")
-    p.add_argument("--weight-quant", type=str, default="none",
+    p.add_argument("--weight-quant", type=str, default="int8",
                    choices=["none", "int8"],
-                   help="int8 = W8A8 weights (QuantWeight): halves weight "
-                        "HBM and doubles MXU rate for the projections")
+                   help="int8 (default) = W8A8 weights for EVERY mode, "
+                        "baseline included — the equal-format comparison "
+                        "(flagship 305.6 vs dense 174.0 tok/s at 96K); "
+                        "none = bf16 weights everywhere")
     p.add_argument("--attempt-timeout", type=int, default=1000)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--worker", type=str, default=None, help=argparse.SUPPRESS)

@@ -110,6 +110,9 @@ def main():
     params = load_params(args.ckpt, cfg, max_len)
     os.makedirs(args.out, exist_ok=True)
     rows = []
+    csv_path = os.path.join(args.out, "summary.csv")
+    with open(csv_path, "w") as f:   # incremental: a crash keeps prior rows
+        f.write("context,estimator,accuracy,avg_sparsity\n")
 
     for ctx in contexts:
         samples = []
@@ -133,15 +136,12 @@ def main():
             acc = correct / len(samples)
             spars = llm.avg_sparsity_since(snap)
             rows.append((ctx, name, acc, spars))
+            with open(csv_path, "a") as f:
+                f.write(f"{ctx},{name},{acc:.4f},{spars:.4f}\n")
             print(f"ctx={ctx} {name}: acc={acc:.3f} "
                   f"sparsity={spars:.4f} ({time.time() - t0:.0f}s)",
                   flush=True)
             del llm
-
-    with open(os.path.join(args.out, "summary.csv"), "w") as f:
-        f.write("context,estimator,accuracy,avg_sparsity\n")
-        for ctx, name, acc, spars in rows:
-            f.write(f"{ctx},{name},{acc:.4f},{spars:.4f}\n")
 
     names = list(estimator_configs(args.K, args.L))
     print("\n| context | " + " | ".join(names) + " |")

@@ -80,13 +80,18 @@ def model_config(dtype=jnp.float32) -> ModelConfig:
 
 
 def make_batch(rng: np.random.Generator, batch: int, seq: int,
-               n_needles: int = 4):
+               n_needles: int = 4, min_seq: int | None = None):
     """Returns (tokens [B, seq] i32, target [B, seq] i32, mask [B, seq]
     bool). Every needle is queried in a tail block "[Q] k v [Q] k v ...";
     the loss applies at each value position (predict v from ... [Q] k) —
     one signal per needle per sequence, which is what makes the retrieval
     circuit actually trainable (a single last-token signal was too sparse
-    to bootstrap)."""
+    to bootstrap).
+
+    min_seq: when set, each sequence's CONTENT length R is drawn uniformly
+    from [min_seq, seq] and the query block sits at R (tokens beyond R are
+    causal-dead filler): one compiled graph trains every context length, so
+    the long-context stage cannot erode short-context skill."""
     qlen = 3 * n_needles
     toks = rng.integers(FILLER_LO, FILLER_HI, size=(batch, seq))
     keys = np.stack([rng.choice(np.arange(KEY_LO, KEY_HI), size=n_needles,
@@ -95,12 +100,13 @@ def make_batch(rng: np.random.Generator, batch: int, seq: int,
     target = np.zeros((batch, seq), np.int64)
     mask = np.zeros((batch, seq), bool)
     for b in range(batch):
-        pos = np.sort(rng.choice(np.arange(1, seq - qlen - 3 * n_needles),
+        r = seq if min_seq is None else int(rng.integers(min_seq, seq + 1))
+        pos = np.sort(rng.choice(np.arange(1, r - qlen - 3 * n_needles),
                                  size=n_needles, replace=False))
         for i, p in enumerate(pos):
             toks[b, p:p + 3] = (MARK, keys[b, i], vals[b, i])
         order = rng.permutation(n_needles)
-        base = seq - qlen
+        base = r - qlen
         for j, qi in enumerate(order):
             toks[b, base + 3 * j:base + 3 * j + 3] = (
                 QUERY, keys[b, qi], vals[b, qi])
@@ -163,6 +169,8 @@ def main():
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--needles", type=int, default=4)
+    ap.add_argument("--min-seq", type=int, default=None,
+                    help="variable content length: uniform in [min_seq, seq]")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default="data/needle_ckpt.npz")
     ap.add_argument("--init", type=str, default=None,
@@ -201,7 +209,8 @@ def main():
     rng = np.random.default_rng(args.seed + 1)
     t0 = time.time()
     for i in range(args.steps):
-        toks, tgt, msk = make_batch(rng, args.batch, args.seq, args.needles)
+        toks, tgt, msk = make_batch(rng, args.batch, args.seq, args.needles,
+                                    min_seq=args.min_seq)
         params, opt_state, loss, acc = step(params, opt_state,
                                             jnp.asarray(toks),
                                             jnp.asarray(tgt),

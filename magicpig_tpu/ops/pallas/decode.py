@@ -127,6 +127,8 @@ def flash_decode(q: jax.Array, k: jax.Array, v: jax.Array,  # noqa: F811
     g = hq // hkv
     fold = max(128 // d, 1)
     blk = min(block_tokens, s)
+    while blk > fold * 32 and s % blk:   # cache length need not be a
+        blk //= 2                        # power-of-two multiple of 8192
     assert s % blk == 0 and blk % fold == 0, (s, blk, fold)
     rows = blk // fold
     lane = 128 if fold > 1 else d

@@ -341,9 +341,13 @@ def _use_pallas(lsh: LSHConfig, head_dim: int) -> bool:
         return False
     if lsh.use_pallas == "on":
         return True
-    # auto: production head dims only — the fold>=4 lane-slicing path
-    # mis-lowers on real hardware (interpret mode is exact; Mosaic isn't).
-    return jax.default_backend() not in ("cpu",) and head_dim >= 32
+    # auto: any head dim on TPU. Hardware parity was measured per head_dim
+    # for every Pallas consumer (flash_decode, fused LSH, scorer +
+    # block_attend) at d in {16, 32, 64} vs the XLA oracles — max err
+    # ~1e-3 (bf16 matmul tolerance), collision counts exact; the round-1
+    # fold>=4 lane-slicing mis-lowering no longer exists in the rewritten
+    # q-packed kernels (BENCHMARKS.md round-2 notes).
+    return jax.default_backend() not in ("cpu",)
 
 
 def _interp() -> bool:

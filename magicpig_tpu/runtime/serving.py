@@ -8,6 +8,16 @@ slots together, and finished requests free their slot immediately — the
 serving pattern the reference lists as future work (README roadmap) and the
 natural fit for the engine's per-request `request_id` state layout
 (reference `models/attnserver.py:112-117`).
+
+Design limits (same as the reference's own serving story):
+  * Admission is synchronous: a long prefill stalls the live slots' decode
+    for its duration. Interleaving prefill chunks with decode steps would
+    require a full-prefix K/V staging buffer per layer for the in-flight
+    request (the LSH signatures need the completed, mean-centered K), i.e.
+    one extra request's worth of HBM — a deliberate capacity/latency
+    trade-off left to a future round.
+  * Prefill graphs are compiled per padded prompt length; padding rounds to
+    `chunk_size`, so at most max_length/chunk_size graphs exist.
 """
 
 from __future__ import annotations
