@@ -196,6 +196,12 @@ def main():
     for mode in modes:
         if mode == "prefill" or args.B > 0:
             B = max(args.B, 1)
+        elif mode == "lsh":
+            # The lsh decode graph at B=2 reproducibly crashes the remote
+            # tpu_compile_helper (bisected: B=1 compiles and runs fine, so
+            # the kernel itself is sound); pin to the stable config until
+            # the toolchain-side crash is resolved.
+            B = 1
         else:
             B, pbytes, per_req, pad = analytic_batch(
                 args.model, mode, args.K, args.L, args.M,

@@ -101,7 +101,13 @@ def make_batch(rng: np.random.Generator, batch: int, seq: int,
     mask = np.zeros((batch, seq), bool)
     for b in range(batch):
         r = seq if min_seq is None else int(rng.integers(min_seq, seq + 1))
-        pos = np.sort(rng.choice(np.arange(1, r - qlen - 3 * n_needles),
+        # Needles go in the FAR region (>= ~256 tokens before the query),
+        # matching the eval protocol: retrieval from inside the local
+        # attention window is trivially easy and dilutes the training
+        # signal for the hard long-range case.
+        far = min(256, (r - qlen) // 2)
+        hi = r - qlen - 3 * n_needles - far
+        pos = np.sort(rng.choice(np.arange(1, max(hi, 2)),
                                  size=n_needles, replace=False))
         for i, p in enumerate(pos):
             toks[b, p:p + 3] = (MARK, keys[b, i], vals[b, i])
