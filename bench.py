@@ -77,8 +77,14 @@ def worker(args):
 
     t0 = time.perf_counter()
     cfg = preset(args.model)
-    if args.weight_quant != "none":
-        cfg = dataclasses.replace(cfg, weight_quant=args.weight_quant)
+    wq = args.weight_quant
+    if args.worker == "lsh":
+        # lsh runs its measured-stable configuration (bf16 weights, B=1):
+        # the int8-weight lsh decode graph is uncompiled territory on a
+        # toolchain whose compile helper crashes on the lsh B=2 graph.
+        wq = "none"
+    if wq != "none":
+        cfg = dataclasses.replace(cfg, weight_quant=wq)
     if args.worker == "prefill":
         # Real chunked-prefill wall time at context P (flagship estimator
         # state build included: centering, quant, landmarks/planes).
@@ -199,8 +205,9 @@ def main():
         elif mode == "lsh":
             # The lsh decode graph at B=2 reproducibly crashes the remote
             # tpu_compile_helper (bisected: B=1 compiles and runs fine, so
-            # the kernel itself is sound); pin to the stable config until
-            # the toolchain-side crash is resolved.
+            # the kernel itself is sound); pin to the stable config (B=1,
+            # bf16 weights — see worker()) until the toolchain-side crash
+            # is resolved.
             B = 1
         else:
             B, pbytes, per_req, pad = analytic_batch(

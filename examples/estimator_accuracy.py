@@ -98,6 +98,9 @@ def main():
     ap.add_argument("--L", type=int, default=150)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--out", type=str, default="results/estimator_accuracy")
+    ap.add_argument("--estimators", type=str, default="",
+                    help="comma-separated subset of estimator names "
+                         "(default: all)")
     args = ap.parse_args()
 
     import jax
@@ -119,7 +122,11 @@ def main():
         rng = np.random.default_rng(args.seed + ctx)
         for _ in range(args.samples):
             samples.append(make_eval_sample(rng, ctx, args.needles))
-        for name, lsh in estimator_configs(args.K, args.L).items():
+        configs = estimator_configs(args.K, args.L)
+        if args.estimators:
+            keep = args.estimators.split(",")
+            configs = {n: c for n, c in configs.items() if n in keep}
+        for name, lsh in configs.items():
             llm = LLM(cfg, batch_size=1, max_length=ctx + 256,
                       chunk_size=min(2048, ctx), params=params, lsh=lsh,
                       seed=0)
@@ -143,7 +150,7 @@ def main():
                   flush=True)
             del llm
 
-    names = list(estimator_configs(args.K, args.L))
+    names = list(configs)
     print("\n| context | " + " | ".join(names) + " |")
     print("|---" * (len(names) + 1) + "|")
     for ctx in contexts:
