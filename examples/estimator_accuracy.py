@@ -93,7 +93,10 @@ def main():
     ap.add_argument("--ckpt", type=str, default="data/needle_ckpt.npz")
     ap.add_argument("--contexts", type=str, default="2048,4096,8192")
     ap.add_argument("--samples", type=int, default=200)
-    ap.add_argument("--needles", type=int, default=4)
+    # Default matches the shipped checkpoint's curriculum (train_needle.py
+    # trains 1-needle then 2-needle; data/needle_ckpt.npz never saw 4, and
+    # scores ~chance on 4-needle haystacks).
+    ap.add_argument("--needles", type=int, default=2)
     ap.add_argument("--K", type=int, default=10)
     ap.add_argument("--L", type=int, default=150)
     ap.add_argument("--seed", type=int, default=7)
