@@ -300,6 +300,99 @@ class LLM:
         self._pos_used[request_id] = p
         return logits
 
+    def _prefill_chunk_fn(self, params: LlamaParams, stage_k, stage_v,
+                          tokens_c, true_len, idx, *, c: int):
+        """One chunk of a STAGED prefill: run chunk `idx` ([c] tokens)
+        through all layers, attending over this request's staged K/V prefix,
+        append the chunk's per-layer K/V into the staging buffers, and
+        return logits at the last valid position seen so far.
+
+        Same math as `_prefill_fn` (same 1024-query sub-chunking, same
+        block_k), just one chunk per dispatch — the interleaved admission
+        path (`runtime/serving.py`) alternates these with decode steps so a
+        long prompt stalls live decodes by chunk_size tokens, not the whole
+        prompt. The estimator state build (centering, signatures,
+        landmarks) needs the COMPLETED prompt keys, so fills happen once at
+        the end from staging (`_fill_from_staging_fn`).
+        """
+        cfg = self.config
+        off = idx * c
+        hidden = params.embed[tokens_c][None]                # [1, c, h]
+        positions = (off + jnp.arange(c, dtype=jnp.int32))[None]
+        sub = c if c < 1024 or c % 1024 else 1024
+        n_sub = c // sub
+
+        def attn_scan(q, sk, sv):  # q [1,c,Hq,d]; sk/sv [S,Hkv,d]
+            hq, d = q.shape[2], q.shape[3]
+            qs = q.reshape(1, n_sub, sub, hq, d).transpose(1, 0, 2, 3, 4)
+            offs = off + jnp.arange(n_sub, dtype=jnp.int32) * sub
+
+            def body(_, xs):
+                qj, o = xs
+                out = flash_prefill(qj, sk[None], sv[None], o, o + sub,
+                                    block_k=sub, window=cfg.sliding_window)
+                return None, out
+
+            _, outs = jax.lax.scan(body, None, (qs, offs))
+            outs = outs.transpose(1, 0, 2, 3, 4)
+            return outs.reshape(1, c, -1)                    # [1, c, Hq*d]
+
+        for i in range(len(self.groups)):
+            lp = params.layers.layer(i)
+            q, k, v = qkv_proj(lp, cfg, hidden, positions, params.cos,
+                               params.sin)
+            stage_k = jax.lax.dynamic_update_slice(
+                stage_k, k.astype(stage_k.dtype), (i, off, 0, 0))
+            stage_v = jax.lax.dynamic_update_slice(
+                stage_v, v.astype(stage_v.dtype), (i, off, 0, 0))
+            attn = attn_scan(q, stage_k[i], stage_v[i])
+            hidden = post_attention(lp, cfg, attn, hidden)
+
+        last_ix = jnp.clip(true_len - 1 - off, 0, c - 1)
+        last = jax.lax.dynamic_slice(hidden, (0, last_ix, 0),
+                                     (1, 1, hidden.shape[-1]))[:, 0]
+        logits = unembed(params, cfg, last)                  # [1, V]
+        return stage_k, stage_v, logits
+
+    def _fill_from_staging_fn(self, state, stage_k, stage_v, true_len, req):
+        """Estimator state build from fully-staged prompt K/V — the tail of
+        `_prefill_fn`, split out so the interleaved path runs it once after
+        the last chunk."""
+        cfg, lsh = self.config, self.lsh
+        for i, (kind, gi) in enumerate(self.groups):
+            if kind == "dense":
+                state = fill_dense_layer(state, gi, req, stage_k[i],
+                                         stage_v[i], true_len)
+            else:
+                state = fill_sparse_layer(state, gi, req, stage_k[i],
+                                          stage_v[i], true_len,
+                                          self.projections, lsh,
+                                          window=cfg.sliding_window)
+        return state.replace(pos=state.pos.at[req].set(true_len))
+
+    def start_prefill(self, input_ids, request_id: int = 0):
+        """Begin a chunked prefill of one request; returns a
+        `ChunkedPrefill` whose `.step()` processes one chunk per call and
+        yields the first-token logits after the final chunk + fill.
+
+        Costs one staging buffer pair [L, max_length, Hkv, d] in the
+        compute dtype (~2*L*S*Hkv*d bytes — one extra request's worth of
+        K/V), shared across requests: only ONE prefill may be in flight at
+        a time.
+        """
+        if getattr(self, "_stage_k", None) is None:
+            cfg = self.config
+            shape = (len(self.groups), self.max_length,
+                     cfg.num_key_value_heads, cfg.head_dim)
+            self._stage_k = jnp.zeros(shape, cfg.dtype)
+            self._stage_v = jnp.zeros(shape, cfg.dtype)
+            self._prefill_chunk_jit = jax.jit(
+                self._prefill_chunk_fn, donate_argnums=(1, 2),
+                static_argnames=("c",))
+            self._fill_staging_jit = jax.jit(
+                self._fill_from_staging_fn, donate_argnums=(0,))
+        return ChunkedPrefill(self, input_ids, request_id)
+
     def inference(self, input_ids):
         """One decode step for the whole batch; returns logits [B, V]."""
         self._guard_decode(1)
@@ -373,3 +466,55 @@ class LLM:
             self.config, self.lsh, self.batch_size, self.max_length)
         self._hot_used.clear()
         self._pos_used.clear()
+
+
+class ChunkedPrefill:
+    """In-flight chunked prefill of one request (`LLM.start_prefill`).
+
+    `step()` processes the next prompt chunk (one jitted dispatch of
+    `_prefill_chunk_fn`); after the final chunk it runs the estimator
+    state build from staging and returns the first-token logits [1, V]
+    (None until then). Callers interleave `step()` with decode steps —
+    see `runtime/serving.py::Scheduler(interleave=True)`.
+    """
+
+    def __init__(self, llm: LLM, input_ids, request_id: int):
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        p = len(ids)
+        assert p >= llm.lsh.num_sink_tokens + llm.lsh.num_local_tokens + 1, (
+            "prompt shorter than sink+local tokens")
+        assert p <= llm.max_length
+        self.llm = llm
+        self.request_id = request_id
+        self.true_len = p
+        self.c = min(llm.chunk_size, llm.max_length)
+        self.n_chunks = (p + self.c - 1) // self.c
+        toks = np.zeros((self.n_chunks * self.c,), np.int32)
+        toks[:p] = ids
+        self._tokens = toks
+        self._idx = 0
+        self.logits = None
+
+    @property
+    def done(self) -> bool:
+        return self.logits is not None
+
+    def step(self):
+        """One chunk of prefill work; returns logits after the last chunk."""
+        assert not self.done
+        llm, i, c = self.llm, self._idx, self.c
+        chunk = jnp.asarray(self._tokens[i * c:(i + 1) * c])
+        llm._stage_k, llm._stage_v, logits = llm._prefill_chunk_jit(
+            llm.params, llm._stage_k, llm._stage_v, chunk,
+            jnp.int32(self.true_len), jnp.int32(i), c=c)
+        self._idx += 1
+        if self._idx < self.n_chunks:
+            return None
+        llm.state = llm._fill_staging_jit(
+            llm.state, llm._stage_k, llm._stage_v, jnp.int32(self.true_len),
+            jnp.int32(self.request_id))
+        llm._hot_used[self.request_id] = (llm.lsh.num_sink_tokens
+                                          + llm.lsh.num_local_tokens)
+        llm._pos_used[self.request_id] = self.true_len
+        self.logits = logits
+        return logits

@@ -9,15 +9,20 @@ serving pattern the reference lists as future work (README roadmap) and the
 natural fit for the engine's per-request `request_id` state layout
 (reference `models/attnserver.py:112-117`).
 
-Design limits (same as the reference's own serving story):
-  * Admission is synchronous: a long prefill stalls the live slots' decode
-    for its duration. Interleaving prefill chunks with decode steps would
-    require a full-prefix K/V staging buffer per layer for the in-flight
-    request (the LSH signatures need the completed, mean-centered K), i.e.
-    one extra request's worth of HBM — a deliberate capacity/latency
-    trade-off left to a future round.
-  * Prefill graphs are compiled per padded prompt length; padding rounds to
-    `chunk_size`, so at most max_length/chunk_size graphs exist.
+Two admission modes:
+  * `interleave=False` (default): admission is synchronous — a long prefill
+    stalls the live slots' decode for its duration, but costs no extra HBM.
+  * `interleave=True`: admission is chunked — each `step()` runs ONE
+    prompt chunk of the in-flight request (`LLM.start_prefill`), then the
+    batched decode, so live decodes stall by at most chunk_size tokens of
+    prefill work per step. Costs one full-prefix K/V staging buffer
+    (~2*L*S*Hkv*d bytes, one extra request's worth of K/V): the LSH
+    estimator state needs the completed, mean-centered prompt keys, so the
+    fills run once from staging after the last chunk.
+
+Prefill graphs are compiled per padded prompt length (one fixed-shape
+chunk graph in interleaved mode); padding rounds to `chunk_size`, so at
+most max_length/chunk_size graphs exist.
 """
 
 from __future__ import annotations
@@ -52,18 +57,20 @@ class Scheduler:
             finished = s.step()
     """
 
-    def __init__(self, llm):
+    def __init__(self, llm, interleave: bool = False):
         self.llm = llm
+        self.interleave = interleave
         self.free = deque(range(llm.batch_size))
         self.active: dict[int, Request] = {}   # slot -> request
         self.queue: deque[Request] = deque()
         self.finished: list[Request] = []
         self._uid = 0
         self._next_tokens = np.zeros((llm.batch_size,), np.int32)
+        self._inflight: tuple[Request, object] | None = None
 
     @property
     def pending(self) -> bool:
-        return bool(self.queue or self.active)
+        return bool(self.queue or self.active or self._inflight)
 
     def submit(self, prompt, max_tokens: int = 64) -> int:
         from magicpig_tpu.runtime import state as state_lib
@@ -92,6 +99,29 @@ class Scheduler:
             self._next_tokens[slot] = tok
             self.active[slot] = req
 
+    def _admit_one_chunk(self):
+        """Interleaved admission: at most one chunk of prefill work.
+
+        The in-flight slot is neither free nor active while its chunks run;
+        the batched decode still passes over it (stale state), which is safe
+        because `_fill_from_staging_fn` overwrites the slot's caches and
+        lengths absolutely — the same invariant `_retire` documents.
+        """
+        if self._inflight is None and self.queue and self.free:
+            slot = self.free.popleft()
+            req = self.queue.popleft()
+            req.slot = slot
+            self._inflight = (req, self.llm.start_prefill(req.prompt, slot))
+        if self._inflight is not None:
+            req, cp = self._inflight
+            logits = cp.step()
+            if logits is not None:
+                tok = int(np.asarray(logits)[0].argmax())
+                req.generated.append(tok)
+                self._next_tokens[req.slot] = tok
+                self.active[req.slot] = req
+                self._inflight = None
+
     def _retire(self, req: Request, slot: int):
         self.active.pop(slot)
         self.free.append(slot)
@@ -108,7 +138,10 @@ class Scheduler:
 
     def step(self) -> list[Request]:
         """Admit + one batched greedy decode step; returns newly finished."""
-        self._admit()
+        if self.interleave:
+            self._admit_one_chunk()
+        else:
+            self._admit()
         if not self.active:
             return []
         logits = self.llm.inference(self._next_tokens)

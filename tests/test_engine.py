@@ -286,6 +286,63 @@ def test_continuous_batching_scheduler(tiny_params):
         assert by_uid[uid].generated[:4] == want, uid
 
 
+def test_chunked_prefill_matches_monolithic(tiny_params):
+    """`start_prefill` (staged, one chunk per dispatch — the interleaved
+    admission path) must produce the same first-token logits and the same
+    subsequent decode as the monolithic `prefill`."""
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, TINY.vocab_size, size=77).astype(np.int32)
+
+    mono = _make_llm(K=6, L=40, params=tiny_params)
+    l_mono = np.asarray(mono.prefill(prompt))
+
+    chunked = _make_llm(K=6, L=40, params=tiny_params)
+    cp = chunked.start_prefill(prompt, request_id=0)
+    assert cp.n_chunks == 3                      # 77 tokens / chunk_size 32
+    steps = 0
+    logits = None
+    while not cp.done:
+        logits = cp.step()
+        steps += 1
+    assert steps == cp.n_chunks
+    np.testing.assert_allclose(np.asarray(logits), l_mono,
+                               rtol=1e-5, atol=1e-5)
+
+    tok_m = int(l_mono[0].argmax())
+    tok_c = int(np.asarray(logits)[0].argmax())
+    for _ in range(4):
+        lm = np.asarray(mono.inference(np.asarray([tok_m])))
+        lc = np.asarray(chunked.inference(np.asarray([tok_c])))
+        np.testing.assert_allclose(lc, lm, rtol=1e-5, atol=1e-5)
+        tok_m, tok_c = int(lm[0].argmax()), int(lc[0].argmax())
+        assert tok_m == tok_c
+
+
+def test_interleaved_scheduler_matches_synchronous(tiny_params):
+    """Scheduler(interleave=True) — prefill chunks interleaved with live
+    decodes — must produce exactly the synchronous scheduler's outputs."""
+    from magicpig_tpu.runtime.serving import Scheduler
+
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(1, TINY.vocab_size, size=n).astype(np.int32)
+               for n in (70, 64, 90, 62)]
+
+    results = {}
+    for interleave in (False, True):
+        llm = LLM(_fp32_tiny(), batch_size=2, max_length=MAX_LEN,
+                  chunk_size=32, params=tiny_params,
+                  lsh=LSHConfig(K=6, L=40, num_sink_tokens=4,
+                                num_local_tokens=16, generation_buffer=32))
+        sched = Scheduler(llm, interleave=interleave)
+        for p in prompts:
+            sched.submit(p, max_tokens=5)
+        finished = sched.run()
+        assert len(finished) == 4
+        results[interleave] = {r.uid: r.generated for r in finished}
+
+    assert results[True] == results[False]
+
+
 def test_generation_buffer_guard(tiny_params):
     """Decoding past the hot-buffer capacity must fail loudly instead of
     silently clamping the cache append (reference sizes its paged cache for
