@@ -198,6 +198,27 @@ def main():
 
     print(f"# bench: {args.model} ctx={args.P} M={args.M} G={args.G}",
           file=sys.stderr)
+
+    # Pre-flight: a healthy chip claims + compiles a trivial op in ~2 s; a
+    # wedged axon pool hangs the claim forever (inside `import jax`, via
+    # sitecustomize). Without this check every per-mode attempt would burn
+    # its full --attempt-timeout on the hang — hours for nothing. 300 s is
+    # ~100x the healthy claim time.
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print((jnp.ones((128,128), jnp.bfloat16) @ "
+             "jnp.ones((128,128), jnp.bfloat16)).sum())"],
+            capture_output=True, timeout=300, check=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(f"# pre-flight failed: TPU claim/compile is not healthy "
+              f"({type(e).__name__}); aborting without burning attempt "
+              f"timeouts", file=sys.stderr)
+        print(json.dumps({"metric": "decode_throughput", "value": 0,
+                          "unit": "tokens/s/chip", "vs_baseline": 0}))
+        return
+
     results = {}
     for mode in modes:
         if mode == "prefill" or args.B > 0:
