@@ -169,19 +169,26 @@ def _imask(b, h, c):
 
 
 @functools.partial(jax.jit, static_argnames=("K", "L", "sm_scale",
-                                             "block_tokens", "interpret"))
+                                             "block_tokens", "interpret",
+                                             "batch_split"))
 def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
                          k_norm: jax.Array, mask: jax.Array,
                          K: int, L: int, sm_scale: float | None = None,
                          block_tokens: int = 4096, interpret: bool = False,
                          k_scale: jax.Array | None = None,
-                         v_scale: jax.Array | None = None):
+                         v_scale: jax.Array | None = None,
+                         batch_split: bool = False):
     """Streaming masked+debiased attention kernel (stage 2).
 
     mask: [B, Hq, S] bool/int8 (already length-masked). k_centered/v may be
     int8 (token-folded [B,Hkv,S/fold,128]) with per-token f32 k_scale/v_scale
     in the fold-major layout [B,Hkv,fold,S/fold] (`runtime/state.py`;
     [.., f, c] scales token c*fold + f), dequantized in-register.
+    `batch_split=True` emits one B=1 `pallas_call` per request (identical
+    program each, compiled once) instead of a single batched grid — the
+    remote tpu_compile_helper on this toolchain crashes on the B>=2 fused
+    graph while the B=1 program compiles and runs; the kernel streams the
+    per-request cache either way, so the split costs only grid re-entry.
     Other args as in `lsh_fused_decode`. Returns (out, lse, sampled_count).
     """
     b, hq, d = q.shape
@@ -229,40 +236,54 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
 
     kernel = functools.partial(_kernel, fold=fold, d=d, K=K, L=L,
                                sm_scale=scale, quant=quant)
-    out, lse, cnt = pl.pallas_call(
-        kernel,
-        grid=(b, hkv, s // blk),
-        in_specs=[
-            pl.BlockSpec((1, 1, gf, lane), _iq, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, fold, rows), _inorm,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, fold, rows), _inorm,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, fold, rows), _inorm,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, gf, rows), _inorm,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, g, d), _iq, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g, 128), _iq, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, g, 128), _iq, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, hkv, g, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, hkv, g, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, hkv, g, 128), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-        ],
-        interpret=interpret,
-    )(q2, k2, v2, ksc_f, vsc_f, norm_f, mask_f)
+
+    def call(q2, k2, v2, ksc_f, vsc_f, norm_f, mask_f):
+        bb = q2.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(bb, hkv, s // blk),
+            in_specs=[
+                pl.BlockSpec((1, 1, gf, lane), _iq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, rows, lane), _ikv,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, rows, lane), _ikv,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, fold, rows), _inorm,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, fold, rows), _inorm,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, fold, rows), _inorm,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, gf, rows), _inorm,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, g, d), _iq, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, g, 128), _iq, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, g, 128), _iq, memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bb, hkv, g, d), jnp.float32),
+                jax.ShapeDtypeStruct((bb, hkv, g, 128), jnp.float32),
+                jax.ShapeDtypeStruct((bb, hkv, g, 128), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((g, 128), jnp.float32),
+                pltpu.VMEM((g, 128), jnp.float32),
+                pltpu.VMEM((g, d), jnp.float32),
+                pltpu.VMEM((g, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q2, k2, v2, ksc_f, vsc_f, norm_f, mask_f)
+
+    if batch_split and b > 1:
+        parts = [call(q2[r:r + 1], k2[r:r + 1], v2[r:r + 1],
+                      ksc_f[r:r + 1], vsc_f[r:r + 1], norm_f[r:r + 1],
+                      mask_f[r:r + 1]) for r in range(b)]
+        out, lse, cnt = (jnp.concatenate(x, axis=0) for x in zip(*parts))
+    else:
+        out, lse, cnt = call(q2, k2, v2, ksc_f, vsc_f, norm_f, mask_f)
     return (out.reshape(b, hq, d), lse[..., 0].reshape(b, hq),
             cnt[..., 0].reshape(b, hq))
 
@@ -273,7 +294,8 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
                      sm_scale: float | None = None,
                      block_tokens: int = 4096, interpret: bool = False,
                      k_scale: jax.Array | None = None,
-                     v_scale: jax.Array | None = None):
+                     v_scale: jax.Array | None = None,
+                     batch_split: bool = False):
     """Full LSH-sampled decode partial: bit-plane collision scan (XLA) +
     streaming masked attention (Pallas).
 
@@ -292,4 +314,4 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     return lsh_masked_attention(q, k_centered, v, k_norm, mask, K, L,
                                 sm_scale=sm_scale, block_tokens=block_tokens,
                                 interpret=interpret, k_scale=k_scale,
-                                v_scale=v_scale)
+                                v_scale=v_scale, batch_split=batch_split)

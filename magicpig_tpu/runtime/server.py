@@ -378,7 +378,12 @@ def _lsh_partial(state, si, q, projections, lsh):
             q, kk, vv, state.k_norm[si], state.planes[si], q_bits,
             state.off_len, lsh.K, lsh.L, interpret=_interp(),
             k_scale=state.off_k_scale[si] if quant else None,
-            v_scale=state.off_v_scale[si] if quant else None)
+            v_scale=state.off_v_scale[si] if quant else None,
+            # One B=1 pallas_call per request: the batched (B>=2) fused
+            # program crashes this toolchain's remote tpu_compile_helper,
+            # and the split costs only grid re-entry on a kernel that
+            # streams per-request state anyway (ops/pallas/lsh_decode.py).
+            batch_split=b > 1)
         frac = cnt.sum() / jnp.maximum(state.off_len.sum() * hq, 1)
         return out, lse, frac
 

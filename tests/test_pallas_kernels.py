@@ -85,6 +85,17 @@ def test_lsh_fused_matches_masked_oracle(B, HKV, G, S, D, K, L, BLK):
     np.testing.assert_array_equal(np.asarray(cnt),
                                   np.asarray(mask.sum(-1), np.float32))
 
+    if B > 1:
+        # The per-request split (the B>=2 toolchain workaround the server
+        # enables, runtime/server.py::_lsh_partial) is the same program per
+        # slice — bit-identical to the batched grid.
+        o3, l3, c3 = lsh_fused_decode(q, kc, vc, knorm, planes, qb, length,
+                                      K, L, block_tokens=BLK,
+                                      interpret=True, batch_split=True)
+        np.testing.assert_array_equal(np.asarray(o3), np.asarray(o2))
+        np.testing.assert_array_equal(np.asarray(l3), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(c3), np.asarray(cnt))
+
 
 @pytest.mark.parametrize("quant", [False, True])
 @pytest.mark.parametrize("D", [64, 128])
@@ -183,7 +194,7 @@ def test_lsh_fused_int8_matches_dequant_oracle():
     from magicpig_tpu.ops.quant import quantize_rows, dequantize_rows
 
     rng = np.random.default_rng(9)
-    B, HKV, G, S, D, K, L = 1, 2, 4, 512, 64, 6, 20
+    B, HKV, G, S, D, K, L = 2, 2, 4, 512, 64, 6, 20
     HQ = HKV * G
     q = jnp.asarray(rng.standard_normal((B, HQ, D)), jnp.float32)
     kc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
@@ -197,7 +208,7 @@ def test_lsh_fused_int8_matches_dequant_oracle():
     planes = jax.vmap(lambda kb: build_planes(
         kb.transpose(1, 0, 2), proj, K, chunk=64))(kd)
     qb = hash_bits(q, proj, K)
-    length = jnp.asarray([450], jnp.int32)
+    length = jnp.asarray([450, 300], jnp.int32)
 
     # oracle: dequantized bf16-ish path through the same fused op
     o1, l1, c1 = lsh_fused_decode(q, kd, vd, knorm, planes, qb, length,
@@ -213,6 +224,18 @@ def test_lsh_fused_int8_matches_dequant_oracle():
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+
+    # Per-request split on the quantized path (what the engine runs at
+    # B>=2 with int8 offload) is bit-identical to the batched grid.
+    o3, l3, c3 = lsh_fused_decode(
+        q, kq.reshape(B, HKV, S // fold, 128),
+        vq.reshape(B, HKV, S // fold, 128), knorm, planes, qb, length,
+        K, L, block_tokens=128, interpret=True,
+        k_scale=_fold_scale(ks, D), v_scale=_fold_scale(vs, D),
+        batch_split=True)
+    np.testing.assert_array_equal(np.asarray(o3), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(l3), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(c3), np.asarray(c2))
 
 
 @pytest.mark.parametrize("quant", [False, True])
