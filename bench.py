@@ -79,9 +79,11 @@ def worker(args):
     cfg = preset(args.model)
     wq = args.weight_quant
     if args.worker == "lsh":
-        # lsh runs its measured-stable configuration (bf16 weights, B=1):
-        # the int8-weight lsh decode graph is uncompiled territory on a
-        # toolchain whose compile helper crashes on the lsh B=2 graph.
+        # lsh keeps bf16 weights: the batched fused-lsh graph is the one
+        # that crashed the remote compile helper (now worked around by the
+        # per-request kernel split, ops/pallas/lsh_decode.py), and bf16 is
+        # the configuration with a measured history. The driver's per-batch
+        # subprocess backoff still lands B=1 if a bigger batch fails.
         wq = "none"
     if wq != "none":
         cfg = dataclasses.replace(cfg, weight_quant=wq)
@@ -216,20 +218,15 @@ def main():
               f"({type(e).__name__}); aborting without burning attempt "
               f"timeouts", file=sys.stderr)
         print(json.dumps({"metric": "decode_throughput", "value": 0,
-                          "unit": "tokens/s/chip", "vs_baseline": 0}))
+                          "unit": "tokens/s/chip", "vs_baseline": 0,
+                          "note": "TPU claim wedged at bench time; "
+                                  "measured numbers in BENCHMARKS.md"}))
         return
 
     results = {}
     for mode in modes:
         if mode == "prefill" or args.B > 0:
             B = max(args.B, 1)
-        elif mode == "lsh":
-            # The lsh decode graph at B=2 reproducibly crashes the remote
-            # tpu_compile_helper (bisected: B=1 compiles and runs fine, so
-            # the kernel itself is sound); pin to the stable config (B=1,
-            # bf16 weights — see worker()) until the toolchain-side crash
-            # is resolved.
-            B = 1
         else:
             B, pbytes, per_req, pad = analytic_batch(
                 args.model, mode, args.K, args.L, args.M,

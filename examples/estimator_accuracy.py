@@ -66,6 +66,13 @@ def estimator_configs(K: int, L: int):
                                      block_topk_budget_frac=0.08,
                                      offload_quant="int8",
                                      dense_layers=(0,), **base),
+        "block_topk_int4": LSHConfig(K=1, L=0, estimator="block_topk",
+                                     block_topk_block_size=256,
+                                     block_topk_budget_frac=0.08,
+                                     offload_quant="int4",
+                                     dense_layers=(0,), **base),
+        f"lsh_K{K}L{L}_int4": LSHConfig(K=K, L=L, decode_mode="masked",
+                                        offload_quant="int4", **base),
         "topk_2pct": LSHConfig(K=1, L=0, estimator="topk",
                                topk_budget_frac=0.02, dense_layers=(0,),
                                **base),

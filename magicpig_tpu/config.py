@@ -275,12 +275,25 @@ class LSHConfig:
     # Offload-region KV storage: "none" keeps the model dtype (bf16);
     # "int8" stores per-row symmetric-quantized K/V with f32 scales —
     # halves the sparse layers' HBM state and doubles effective scoring
-    # bandwidth. Dense layers and the hot (sink/local) buffer stay exact.
+    # bandwidth. "int4" further quantizes K (scores/debias only) to a
+    # 4-bit grid while V stays int8 (V carries the output values); K is
+    # currently stored in the int8 layout, so int4 is an accuracy knob
+    # ahead of packed-nibble storage. Dense layers and the hot
+    # (sink/local) buffer stay exact.
     offload_quant: str = "none"
 
     def __post_init__(self):
         assert self.estimator in ESTIMATORS, self.estimator
-        assert self.offload_quant in ("none", "int8"), self.offload_quant
+        assert self.offload_quant in ("none", "int8", "int4"), \
+            self.offload_quant
+
+    @property
+    def offload_quantized(self) -> bool:
+        return self.offload_quant != "none"
+
+    @property
+    def offload_k_bits(self) -> int:
+        return 4 if self.offload_quant == "int4" else 8
 
     @property
     def enabled(self) -> bool:

@@ -12,16 +12,23 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def quantize_rows(x: jnp.ndarray):
+def quantize_rows(x: jnp.ndarray, bits: int = 8):
     """[..., S, d] -> (int8 [..., S, d], scale f32 [..., S]).
 
-    Symmetric per-row: scale = max|row| / 127; zero rows get scale 0 and
-    dequantize to exact zeros.
+    Symmetric per-row: scale = max|row| / (2**(bits-1) - 1); zero rows get
+    scale 0 and dequantize to exact zeros. `bits < 8` quantizes to the
+    coarser grid but keeps int8 storage — the values lie in
+    [-(2**(bits-1)-1), 2**(bits-1)-1], so every int8 consumer (kernels
+    included) works unchanged; packed sub-byte storage is a separate
+    layout decision.
     """
+    assert 2 <= bits <= 8, bits
+    qmax = float(2 ** (bits - 1) - 1)
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
-    scale = amax / 127.0
+    scale = amax / qmax
     q = jnp.round(xf / jnp.maximum(scale, 1e-20)[..., None])
+    q = jnp.clip(q, -qmax, qmax)
     return q.astype(jnp.int8), scale
 
 

@@ -170,10 +170,10 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
         off_k_f = off_k.astype(jnp.float32) * valid
         avg = off_k_f.sum(0) / jnp.maximum(off_len, 1)      # [Hkv, d] f32
         centered = (off_k_f - avg[None]) * valid            # zeros beyond len
-        if lsh.offload_quant == "int8":
+        if lsh.offload_quantized:
             # Quantize first so the stored norms describe the keys decode
             # actually scores against (the debias cos must be consistent).
-            off_k_q, k_scale = quantize_rows(centered)
+            off_k_q, k_scale = quantize_rows(centered, lsh.offload_k_bits)
             centered = dequantize_rows(off_k_q, k_scale, jnp.float32)
         k_norm = jnp.linalg.norm(centered, axis=-1)         # [off_cap, Hkv]
         planes = build_planes(centered, projections, lsh.K)  # [Hkv,L,K,W]
@@ -212,12 +212,13 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
                                                kmax[0], req)),
         )
 
-    if lsh.offload_quant == "int8":
+    if lsh.offload_quantized:
         # Per-row symmetric quantization of the offload region (dense layers
         # and the hot buffer stay exact; see ops.quant). Scales are stored
         # fold-major ([.., f, c] scales token c*fold + f) so the Pallas
         # scorer/attend/lsh kernels stream them with no per-step transpose.
-        off_k, k_scale = quantize_rows(off_k)               # [cap,Hkv,*]
+        # int4 coarsens K only (scores); V keeps the full int8 grid.
+        off_k, k_scale = quantize_rows(off_k, lsh.offload_k_bits)
         off_v, v_scale = quantize_rows(off_v)
 
         def wr_scale(bufs, i, val):                         # val [cap, Hkv]
@@ -324,7 +325,7 @@ def _off_kv(state: DecodeState, si: int, lsh: LSHConfig, dtype,
     b, hkv = k.shape[0], k.shape[1]
     k = k.reshape(b, hkv, -1, head_dim)       # unfold (row-major view)
     v = v.reshape(b, hkv, -1, head_dim)
-    if lsh.offload_quant == "int8":
+    if lsh.offload_quantized:
         k = dequantize_rows(k, _scale_tokens(state.off_k_scale[si]), dtype)
         v = dequantize_rows(v, _scale_tokens(state.off_v_scale[si]), dtype)
     return k, v
@@ -363,7 +364,6 @@ def _lsh_partial(state, si, q, projections, lsh):
     b, hq, d = q.shape
     off_cap = _off_cap(state.off_k[si], d)
     w = state.planes[si].shape[-1]
-    off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16, d)
 
     if lsh.decode_mode == "masked" and _use_pallas(lsh, d):
         # Fused streaming kernel: bit-plane scan (XLA) + masked+debiased
@@ -371,7 +371,7 @@ def _lsh_partial(state, si, q, projections, lsh):
         # offload, pass the raw folded cache + scales (in-register dequant).
         from magicpig_tpu.ops.pallas.lsh_decode import lsh_fused_decode
 
-        quant = lsh.offload_quant == "int8"
+        quant = lsh.offload_quantized
         kk, vv = state.off_k[si], state.off_v[si]   # folded storage
         q_bits = hash_bits(q, projections, lsh.K)
         out, lse, cnt = lsh_fused_decode(
@@ -387,6 +387,7 @@ def _lsh_partial(state, si, q, projections, lsh):
         frac = cnt.sum() / jnp.maximum(state.off_len.sum() * hq, 1)
         return out, lse, frac
 
+    off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16, d)
     q_bits = hash_bits(q, projections, lsh.K)               # [B,Hq,L,K]
     words = collision_words(q_bits, state.planes[si])       # [B,Hq,W]
     words = words & valid_words(state.off_len, w)[:, None]
@@ -481,7 +482,7 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
         bs = lsh.block_topk_block_size
         blocks = _static_budget(off_cap // bs, lsh.block_topk_budget_frac,
                                 floor=1)
-        quant = lsh.offload_quant == "int8"
+        quant = lsh.offload_quantized
         k_scale = state.off_k_scale[si] if quant else None
         v_scale = state.off_v_scale[si] if quant else None
         off_k, off_v = state.off_k[si], state.off_v[si]

@@ -108,7 +108,7 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
 
     is_lsh = lsh.estimator == "lsh" and ns > 0
     is_quest = lsh.estimator == "quest" and ns > 0
-    quant = lsh.offload_quant == "int8" and ns > 0
+    quant = lsh.offload_quantized and ns > 0
     off_dt = jnp.int8 if quant else dt
     # The offload cache is stored token-FOLDED [.., off_cap/fold, 128]
     # regardless of dtype: a [.., S, d<128] layout gets lane-padded 128/d x

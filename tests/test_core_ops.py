@@ -205,3 +205,23 @@ def test_profiling_utils():
     assert t.ms_per_token > 0
     assert t.tokens_per_s > 0
     assert "ms/token" in t.report()
+
+
+def test_quantize_rows_bit_widths():
+    from magicpig_tpu.ops.quant import dequantize_rows, quantize_rows
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((3, 64, 32)), jnp.float32)
+    for bits, qmax in ((8, 127), (4, 7)):
+        q, s = quantize_rows(x, bits)
+        assert q.dtype == jnp.int8
+        vals = np.asarray(q)
+        assert vals.max() <= qmax and vals.min() >= -qmax
+        xd = np.asarray(dequantize_rows(q, s, jnp.float32))
+        # Per-row symmetric grid: error bounded by scale/2 per element.
+        err = np.abs(xd - np.asarray(x))
+        bound = np.asarray(s)[..., None] / 2 + 1e-6
+        assert (err <= bound).all()
+    # Zero rows quantize to exact zeros.
+    q, s = quantize_rows(jnp.zeros((2, 4, 8)), 4)
+    assert not np.asarray(q).any() and not np.asarray(s).any()
