@@ -256,6 +256,33 @@ def test_int8_offload_tracks_bf16(tiny_params, estimator):
         tok = int(le[0].argmax())
 
 
+@pytest.mark.parametrize("estimator", ["block_topk", "lsh"])
+def test_int4_offload_tracks_bf16(tiny_params, estimator):
+    """int4-K offload (V stays int8) runs the same paths as int8 and stays
+    within the coarser grid's drift bound on decode logits."""
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(1, TINY.vocab_size, size=120).astype(np.int32)
+
+    kw = dict(estimator=estimator, block_topk_block_size=16,
+              block_topk_budget_frac=1.0, topk_budget_frac=1.0,
+              K=1 if estimator == "lsh" else 10,
+              L=32 if estimator == "lsh" else 0)
+    exact = _make_llm(params=tiny_params, **kw)
+    quant = _make_llm(params=tiny_params, offload_quant="int4", **kw)
+
+    le = np.asarray(exact.prefill(prompt))
+    lq = np.asarray(quant.prefill(prompt))
+    np.testing.assert_allclose(lq, le, rtol=1e-3, atol=1e-3)  # prefill exact
+
+    tok = int(le[0].argmax())
+    for _ in range(3):
+        le = np.asarray(exact.inference(np.asarray([tok])))
+        lq = np.asarray(quant.inference(np.asarray([tok])))
+        err = np.abs(lq - le).max() / max(np.abs(le).max(), 1e-6)
+        assert err < 0.25, f"{estimator} int4 drift: {err}"
+        tok = int(le[0].argmax())
+
+
 def test_continuous_batching_scheduler(tiny_params):
     """Continuous batching: 4 requests over 2 slots; each result must match
     a dedicated single-request engine (greedy)."""
