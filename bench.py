@@ -45,6 +45,11 @@ def make_lsh(mode, K, L):
     if mode == "block_topk":
         return LSHConfig(K=1, L=0, estimator="block_topk",
                          offload_quant="int8")
+    if mode == "block_topk4":
+        # Packed-int4 K (ops/pack4.py): halves the scorer's HBM stream and
+        # the off_k state vs int8; V stays int8.
+        return LSHConfig(K=1, L=0, estimator="block_topk",
+                         offload_quant="int4")
     raise ValueError(mode)
 
 
@@ -149,7 +154,7 @@ def analytic_batch(model, mode, K, L, M, hbm_budget, max_b,
     # so the analytic bound is tight up to the decode-step workspace
     # (materialized scores etc.) — which is a whole-graph transient, not a
     # per-request cost; OOM backoff still guards the rest.
-    workspace = 0.8e9 if mode == "block_topk" else 0.2e9
+    workspace = 0.8e9 if mode.startswith("block_topk") else 0.2e9
     b = int((hbm_budget - pbytes - workspace) // per_req)
     return min(max(b, 1), max_b), pbytes, per_req, 1
 
@@ -165,7 +170,7 @@ def main():
     p.add_argument("--B", type=int, default=0,
                    help="fixed batch for ALL modes (0 = per-mode max batch)")
     p.add_argument("--mode", type=str, default="block_topk",
-                   choices=["block_topk", "lsh", "full", "prefill"],
+                   choices=["block_topk", "block_topk4", "lsh", "full", "prefill"],
                    help="flagship mode for the headline JSON")
     p.add_argument("--modes", type=str, default="full,block_topk,lsh",
                    help="comma list of modes to measure")

@@ -276,9 +276,11 @@ class LSHConfig:
     # "int8" stores per-row symmetric-quantized K/V with f32 scales —
     # halves the sparse layers' HBM state and doubles effective scoring
     # bandwidth. "int4" further quantizes K (scores/debias only) to a
-    # 4-bit grid while V stays int8 (V carries the output values); K is
-    # currently stored in the int8 layout, so int4 is an accuracy knob
-    # ahead of packed-nibble storage. Dense layers and the hot
+    # 4-bit grid while V stays int8 (V carries the output values). For
+    # block_topk at d >= 64 the int4 K is stored packed two-per-byte
+    # (`ops/pack4.py`, see `packed_k4`) — halving both the scorer's
+    # dominant HBM stream and the off_k state; other estimators keep the
+    # int8 layout (accuracy knob only). Dense layers and the hot
     # (sink/local) buffer stay exact.
     offload_quant: str = "none"
 
@@ -294,6 +296,19 @@ class LSHConfig:
     @property
     def offload_k_bits(self) -> int:
         return 4 if self.offload_quant == "int4" else 8
+
+    def packed_k4(self, head_dim: int) -> bool:
+        """Store the offload K packed-int4 (`ops/pack4.py`)? Only the
+        block_topk scorer reads K, the pack span must equal the ranking
+        block, and the compiled attend's per-block score DMA needs
+        span/(2*fold) % 128 == 0 (true for d >= 64)."""
+        from magicpig_tpu.ops.pack4 import SPAN_TOKENS
+
+        fold = max(128 // head_dim, 1)
+        return (self.offload_quant == "int4"
+                and self.estimator == "block_topk"
+                and self.block_topk_block_size == SPAN_TOKENS
+                and (SPAN_TOKENS // (2 * fold)) % 128 == 0)
 
     @property
     def enabled(self) -> bool:

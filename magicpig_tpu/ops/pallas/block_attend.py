@@ -35,11 +35,13 @@ _NBUF = 2
 
 def _kernel(ids_ref, s_hbm, v_hbm, vs_hbm, o_ref, lse_ref,
             sbuf, vbuf, vsbuf, sems, m_ref, l_ref, acc_ref, *,
-            fold: int, d: int, g: int, quant: bool, nbp: int, ch: int):
+            fold: int, d: int, g: int, quant: bool, nbp: int, ch: int,
+            pk: int = 1):
     b = pl.program_id(0)
     h = pl.program_id(1)
     nchunks = nbp // ch
-    rows = sbuf.shape[-1]
+    rows = sbuf.shape[-1]       # score columns per block (= block/(pk*fold))
+    ng = pk * fold              # score row groups (pk=2: packed-int4 layout)
 
     m_ref[:] = jnp.full_like(m_ref, _NEG)
     l_ref[:] = jnp.zeros_like(l_ref)
@@ -47,8 +49,8 @@ def _kernel(ids_ref, s_hbm, v_hbm, vs_hbm, o_ref, lse_ref,
 
     def dmas(slot, ci, j):
         nb = ids_ref[b, h, ci * ch + j]
-        # One [GF, rows] lane slice of the fold-major scores per block; the
-        # dynamic lane offset nb*rows stays 128-aligned (rows % 128 == 0
+        # One [ng*G, rows] lane slice of the group-major scores per block;
+        # the dynamic lane offset nb*rows stays 128-aligned (rows % 128 == 0
         # asserted at the wrapper).
         ops = [pltpu.make_async_copy(
                    s_hbm.at[b, h, :, pl.ds(nb * rows, rows)],
@@ -57,10 +59,12 @@ def _kernel(ids_ref, s_hbm, v_hbm, vs_hbm, o_ref, lse_ref,
                                      vbuf.at[slot, j],
                                      sems.at[slot, j, 1])]
         if quant:
-            # Same lane-slice addressing as the scores: the V scale is
-            # stored fold-major [B, Hkv, fold, S/fold].
+            # The V scale stays fold-major [B, Hkv, fold, S/fold] even in
+            # packed mode (V is never packed); its per-block slice covers
+            # the block's vrows = pk*rows folded rows.
+            vrows = vsbuf.shape[-1]
             ops.append(pltpu.make_async_copy(
-                vs_hbm.at[b, h, :, pl.ds(nb * rows, rows)],
+                vs_hbm.at[b, h, :, pl.ds(nb * vrows, vrows)],
                 vsbuf.at[slot, j], sems.at[slot, j, 2]))
         return ops
 
@@ -85,32 +89,37 @@ def _kernel(ids_ref, s_hbm, v_hbm, vs_hbm, o_ref, lse_ref,
 
         wait(slot, ci)
         # Chunk-batched online softmax: ONE max/exp/sum over all ch blocks,
-        # then one ch-batched MXU dot per fold. Rows f*G + g of the score
-        # slice belong to query head g; the per-head stats reduce the fold
-        # row-groups with G-sublane slices.
-        s_all = sbuf[pl.ds(slot, 1)][0]                 # [ch, GF, rows] f32
+        # then one ch-batched MXU dot per group. Rows i*G + g of the score
+        # slice belong to query head g; the per-head stats reduce the ng
+        # row-groups with G-sublane slices. Group i = hlf*fold + f maps to
+        # the block's folded V rows hlf*rows..(hlf+1)*rows at fold slot f
+        # (hlf always 0 unpacked; packed layout in ops/pack4.py).
+        s_all = sbuf[pl.ds(slot, 1)][0]                 # [ch, ng*G, rows]
         m_prev = m_ref[:]                               # [G, 128]
         mrow = jnp.max(jnp.max(s_all, axis=0), axis=-1,
-                       keepdims=True)                   # [GF, 1]
+                       keepdims=True)                   # [ng*G, 1]
         mg = mrow[:g]
-        for f in range(1, fold):
-            mg = jnp.maximum(mg, mrow[f * g:(f + 1) * g])
+        for i in range(1, ng):
+            mg = jnp.maximum(mg, mrow[i * g:(i + 1) * g])
         m_new = jnp.maximum(m_prev, mg)                 # [G, 128]
         alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
-        m8 = jnp.concatenate([m_new[:, :1]] * fold, axis=0)  # [GF, 1]
-        p = jnp.exp(s_all - m8)                         # [ch, GF, rows]
+        m8 = jnp.concatenate([m_new[:, :1]] * ng, axis=0)    # [ng*G, 1]
+        p = jnp.exp(s_all - m8)                         # [ch, ng*G, rows]
         lrow = jnp.sum(jnp.sum(p, axis=0), axis=-1,
-                       keepdims=True)                   # [GF, 1]
+                       keepdims=True)                   # [ng*G, 1]
         lg = lrow[:g]
-        for f in range(1, fold):
-            lg = lg + lrow[f * g:(f + 1) * g]
+        for i in range(1, ng):
+            lg = lg + lrow[i * g:(i + 1) * g]
         l_ref[:] = l_ref[:] * alpha + lg
         pv = jnp.zeros_like(acc_ref)
-        for f in range(fold):
-            pf = p[:, f * g:(f + 1) * g, :]             # [ch, G, rows]
+        for i in range(ng):
+            hlf, f = i // fold, i % fold
+            pf = p[:, i * g:(i + 1) * g, :]             # [ch, G, rows]
             if quant:
-                pf = pf * vsbuf[pl.ds(slot, 1)][0][:, f:f + 1, :]
-            vf = vbuf[pl.ds(slot, 1)][0][:, :, f * d:(f + 1) * d]
+                pf = pf * vsbuf[pl.ds(slot, 1)][0][
+                    :, f:f + 1, hlf * rows:(hlf + 1) * rows]
+            vf = vbuf[pl.ds(slot, 1)][0][
+                :, hlf * rows:(hlf + 1) * rows, f * d:(f + 1) * d]
             out = jax.lax.dot_general(
                 pf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
                 (((2,), (1,)), ((0,), (0,))),
@@ -135,10 +144,10 @@ def _io(b, h, ids):
 
 
 @functools.partial(jax.jit, static_argnames=("block_size", "head_dim",
-                                             "interpret"))
+                                             "interpret", "packed"))
 def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
                  v_scale: jax.Array | None, block_size: int, head_dim: int,
-                 interpret: bool = False):
+                 interpret: bool = False, packed: bool = False):
     """Attention over selected blocks.
 
     scores_folded: [B, Hkv, G*fold, S/fold] f32 (already scaled and
@@ -150,27 +159,40 @@ def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
     layout `runtime/state.py` stores; [.., f, c] scales token c*fold + f);
     head_dim: d (static).
     Returns (out [B, Hkv*G, d] f32, lse [B, Hkv*G] f32).
+
+    `packed=True`: scores arrive in the packed-int4 2*fold-GROUP layout
+    [B, Hkv, 2*G*fold, S/(2*fold)] (`ops/pack4.py`; block_size must equal
+    the pack span). V and its fold-major scale are UNCHANGED — within each
+    block, score group i = hlf*fold + f covers the block's folded V rows
+    hlf*half..(hlf+1)*half at fold slot f.
     """
-    b, hkv, gf, sf = scores_folded.shape
+    b, hkv, gfp, sfp = scores_folded.shape
     nbp = blk_ids.shape[-1]
     ch = max(c for c in (16, 8, 4, 2, 1) if nbp % c == 0)
     quant = v_scale is not None
     d = head_dim
+    pk = 2 if packed else 1
     fold = max(128 // d, 1)
-    g = gf // fold
-    s = sf * fold
-    assert v.shape[2] in (s, sf) and gf % fold == 0, (
+    g = gfp // (pk * fold)
+    s = sfp * fold * pk
+    sf = s // fold
+    assert v.shape[2] in (s, sf) and gfp % (pk * fold) == 0, (
         v.shape, scores_folded.shape, head_dim)
+    if packed:
+        from magicpig_tpu.ops.pack4 import SPAN_TOKENS
+
+        assert block_size == SPAN_TOKENS, (block_size, SPAN_TOKENS)
     nblk = s // block_size
-    rows = block_size // fold
+    vrows = block_size // fold          # folded V rows per block
+    rows = block_size // (pk * fold)    # score columns per block
     assert interpret or rows % 128 == 0, (
-        "compiled block_attend needs block_size/fold % 128 == 0 "
-        f"(got block_size={block_size}, fold={fold})")
+        "compiled block_attend needs block_size/(pk*fold) % 128 == 0 "
+        f"(got block_size={block_size}, fold={fold}, pk={pk})")
     if v.shape[2] == s and fold > 1:   # fold V too (free, row-major view)
         v = v.reshape(b, hkv, s // fold, fold * d)
     lane = v.shape[-1]
 
-    v5 = v.reshape(b, hkv, nblk, rows, lane)
+    v5 = v.reshape(b, hkv, nblk, vrows, lane)
     if quant:
         assert v_scale.shape == (b, hkv, fold, sf), v_scale.shape
         vs6 = v_scale.astype(jnp.float32)
@@ -178,7 +200,7 @@ def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
         vs6 = jnp.zeros((b, hkv, fold, sf), jnp.float32)
 
     kernel = functools.partial(_kernel, fold=fold, d=d, g=g, quant=quant,
-                               nbp=nbp, ch=ch)
+                               nbp=nbp, ch=ch, pk=pk)
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -194,9 +216,9 @@ def block_attend(scores_folded: jax.Array, blk_ids: jax.Array, v: jax.Array,
                 pl.BlockSpec((1, 1, g, 128), _io, memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((_NBUF, ch, gf, rows), jnp.float32),
-                pltpu.VMEM((_NBUF, ch, rows, lane), v.dtype),
-                pltpu.VMEM((_NBUF, ch, fold, rows), jnp.float32),
+                pltpu.VMEM((_NBUF, ch, gfp, rows), jnp.float32),
+                pltpu.VMEM((_NBUF, ch, vrows, lane), v.dtype),
+                pltpu.VMEM((_NBUF, ch, fold, vrows), jnp.float32),
                 pltpu.SemaphoreType.DMA((_NBUF, ch, 3)),
                 pltpu.VMEM((g, 128), jnp.float32),
                 pltpu.VMEM((g, 128), jnp.float32),

@@ -42,23 +42,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, scale_ref, mask_ref, o_ref, bm_ref, *, fold: int,
-            g: int, quant: bool, masked: bool, bs_cols: int):
+            g: int, quant: bool, masked: bool, bs_cols: int,
+            packed: bool = False):
+    def rep_groups(a, lo_g, n):
+        # [groups, rows] -> [n*G, rows]: group rows repeated per query head.
+        return jnp.concatenate(
+            [a[f:f + 1] for f in range(lo_g, lo_g + n) for _ in range(g)],
+            axis=0)
+
     q2 = q_ref[0, 0]                                    # [GF, 128] bf16
-    k = k_ref[0, 0]                                     # [rows, lane]
+    k = k_ref[0, 0]                                     # [rows(_p), lane]
+    if packed:
+        # int4-packed K (ops/pack4.py): low/high nibbles hold the span's
+        # first/second half of folded rows; the two dots' outputs stack on
+        # the ROW axis into the 2*fold-group score layout — one contiguous
+        # store, no lane interleave. Shifts in int32 (sign-extending).
+        ki = k.astype(jnp.int32)
+        lo = ((ki << 28) >> 28).astype(jnp.bfloat16)
+        hi = (ki >> 4).astype(jnp.bfloat16)
+        raw_lo = jax.lax.dot_general(
+            q2, lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [GF, rows_p]
+        raw_hi = jax.lax.dot_general(
+            q2, hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sc = scale_ref[0, 0]                            # [2*fold, rows_p]
+        raw = jnp.concatenate(
+            [raw_lo * rep_groups(sc, 0, fold),
+             raw_hi * rep_groups(sc, fold, fold)], axis=0)  # [2GF, rows_p]
+        if masked:
+            raw = raw + rep_groups(mask_ref[0, 0], 0, 2 * fold)
+        o_ref[0, 0] = raw
+        if bm_ref is not None:
+            nbs = raw.shape[1] // bs_cols
+            bm = jnp.concatenate(
+                [jnp.broadcast_to(
+                    jnp.max(raw[:, j * bs_cols:(j + 1) * bs_cols],
+                            axis=(0, 1), keepdims=True), (1, 128))
+                 for j in range(nbs)], axis=0)
+            bm_ref[0, 0] = bm
+        return
     raw = jax.lax.dot_general(
         q2, k.astype(jnp.bfloat16) if quant else k,
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)             # [GF, rows]
     if quant:
         sc = scale_ref[0, 0]                            # [fold, rows]
-        s8 = jnp.concatenate(
-            [sc[f:f + 1] for f in range(fold) for _ in range(g)], axis=0)
-        raw = raw * s8
+        raw = raw * rep_groups(sc, 0, fold)
     if masked:
-        mk = mask_ref[0, 0]                             # [fold, rows] f32
-        m8 = jnp.concatenate(
-            [mk[f:f + 1] for f in range(fold) for _ in range(g)], axis=0)
-        raw = raw + m8
+        raw = raw + rep_groups(mask_ref[0, 0], 0, fold)
     o_ref[0, 0] = raw
     if bm_ref is not None:
         # Fused block ranking: max over the GQA group and each ranking
@@ -97,28 +129,41 @@ def _ibm(b, h, c):
 
 
 def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
-                 interpret):
+                 interpret, packed=False):
     b, hq, d = q.shape
     hkv = k.shape[1]
-    s = k.shape[2] * k.shape[3] // d
+    pk = 2 if packed else 1   # tokens per stored byte-row, relative to fold
+    s = k.shape[2] * k.shape[3] * pk // d
     g = hq // hkv
     fold = max(128 // d, 1)
     gf = g * fold
     lane = 128 if fold > 1 else d
+    if packed:
+        assert lane == 128 or fold == 1, (d, lane)
+        lane = 128
     blk = min(block_tokens, s)
     # Cap the double-buffered K block at ~4 MB of VMEM (bf16 K at d=128
     # would otherwise blow the ~16 MB budget at the 64K-token default).
-    while blk > fold * 32 and (blk // fold) * lane * k.dtype.itemsize > 4 << 20:
+    while (blk > pk * fold * 32
+           and (blk // (pk * fold)) * lane * k.dtype.itemsize > 4 << 20):
         blk //= 2
     while s % blk:
         blk //= 2
-    assert s % blk == 0 and blk % (fold * 32) == 0
+    assert s % blk == 0 and blk % (pk * fold * 32) == 0
     if rank_block is not None:
-        assert blk % rank_block == 0 and rank_block % fold == 0, (
+        assert blk % rank_block == 0 and rank_block % (pk * fold) == 0, (
             blk, rank_block, fold)
-    rows = blk // fold
+    if packed:
+        # Each grid block must cover whole pack spans (ops/pack4.py).
+        from magicpig_tpu.ops.pack4 import SPAN_TOKENS
+
+        assert blk % SPAN_TOKENS == 0, (blk, SPAN_TOKENS)
+        assert rank_block is None or rank_block == SPAN_TOKENS, rank_block
+    rows = blk // (pk * fold)   # byte-rows per grid step
+    grp = pk * fold             # score/scale/mask row groups
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     quant = k_scale is not None
+    assert quant or not packed
     masked = mask is not None
 
     qh = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
@@ -126,24 +171,27 @@ def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
     q2 = jnp.zeros((b, hkv, gf, lane), jnp.bfloat16)
     for f in range(fold):
         q2 = jax.lax.dynamic_update_slice(q2, qh, (0, 0, f * g, f * d))
-    k2 = k.reshape(b, hkv, s // fold, lane)
+    k2 = k if packed else k.reshape(b, hkv, s // fold, lane)
+    cols = s // (fold * pk)     # scale/mask/score columns
     if quant:
-        assert k_scale.shape == (b, hkv, fold, s // fold), k_scale.shape
+        assert k_scale.shape == (b, hkv, grp, cols), (k_scale.shape, grp)
         scale_f = k_scale.astype(jnp.float32)
     else:
-        scale_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)
+        scale_f = jnp.zeros((b, hkv, grp, cols), jnp.float32)
     if masked:
-        assert mask.shape == (b, fold, s // fold), mask.shape
-        mask4 = mask.astype(jnp.float32)[:, None]       # [B,1,fold,S/fold]
+        assert mask.shape == (b, grp, cols), (mask.shape, grp)
+        mask4 = mask.astype(jnp.float32)[:, None]       # [B,1,grp,cols]
     else:
-        mask4 = jnp.zeros((b, 1, fold, s // fold), jnp.float32)
+        mask4 = jnp.zeros((b, 1, grp, cols), jnp.float32)
 
-    bs_cols = (rank_block // fold) if rank_block is not None else 0
+    bs_cols = (rank_block // (pk * fold)) if rank_block is not None else 0
     kernel = functools.partial(_kernel, fold=fold, g=g, quant=quant,
-                               masked=masked, bs_cols=bs_cols)
-    out_specs = [pl.BlockSpec((1, 1, gf, rows), _isc,
+                               masked=masked, bs_cols=bs_cols,
+                               packed=packed)
+    out_specs = [pl.BlockSpec((1, 1, pk * gf, rows), _isc,
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((b, hkv, gf, s // fold), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((b, hkv, pk * gf, cols),
+                                      jnp.float32)]
     if rank_block is not None:
         nb = s // rank_block
         nbs = blk // rank_block
@@ -164,8 +212,8 @@ def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
         in_specs=[
             pl.BlockSpec((1, 1, gf, lane), _iq, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rows, lane), _ikv, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, fold, rows), _isc, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, fold, rows), _imask, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, grp, rows), _isc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, grp, rows), _imask, memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(out_specs) if rank_block is not None else out_specs[0],
         out_shape=tuple(out_shape) if rank_block is not None else out_shape[0],
@@ -201,12 +249,13 @@ def exact_scores_folded(q: jax.Array, k: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("rank_block", "sm_scale",
-                                             "block_tokens", "interpret"))
+                                             "block_tokens", "interpret",
+                                             "packed"))
 def exact_scores_ranked(q: jax.Array, k: jax.Array,
                         k_scale: jax.Array | None, mask: jax.Array,
                         rank_block: int, sm_scale: float | None = None,
                         block_tokens: int = 65536,
-                        interpret: bool = False):
+                        interpret: bool = False, packed: bool = False):
     """Masked scores + fused per-block ranking max (module docstring).
 
     mask: [B, fold, S/fold] f32 additive length mask (0 valid / -inf
@@ -215,9 +264,17 @@ def exact_scores_ranked(q: jax.Array, k: jax.Array,
     Returns (scores [B, Hkv, G*fold, S/fold] f32 — already masked,
     block_max [B, Hkv, S/rank_block] f32 — max over the GQA group and the
     block's tokens, -inf for fully-invalid blocks).
+
+    `packed=True`: K is int4-packed [B, Hkv, S/(2*fold), 128]
+    (`ops/pack4.py`); k_scale and mask arrive in the 2*fold-GROUP layout
+    ([B, Hkv, 2*fold, S/(2*fold)] / [B, 2*fold, S/(2*fold)], see
+    `pack4.group_scales` / `pack4.group_length_mask`), and the returned
+    scores are [B, Hkv, 2*G*fold, S/(2*fold)] in that group layout
+    (token map `pack4.group_token_index`). rank_block must equal the
+    pack span; the block-max output is unchanged.
     """
     return _scores_call(q, k, k_scale, mask, sm_scale, block_tokens,
-                        rank_block, interpret)
+                        rank_block, interpret, packed=packed)
 
 
 def length_mask(length: jax.Array, s: int, fold: int) -> jax.Array:

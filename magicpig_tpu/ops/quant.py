@@ -35,3 +35,18 @@ def quantize_rows(x: jnp.ndarray, bits: int = 8):
 def dequantize_rows(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16):
     """Inverse of quantize_rows: int8 [..., S, d] * scale [..., S]."""
     return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def pack_nibbles(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    """Pack two int8 arrays holding 4-bit-grid values ([-7, 7]) into one
+    int8 byte array: `lo` in the low nibble, `hi` in the high nibble.
+    Inverse: `unpack_nibbles`."""
+    return ((lo & jnp.int8(0x0F)) | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_nibbles(packed: jnp.ndarray):
+    """(lo, hi) int8 from `pack_nibbles` bytes — arithmetic shifts restore
+    the signs ((x << 4) >> 4 sign-extends the low nibble)."""
+    lo = ((packed << 4) >> 4).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+    return lo, hi

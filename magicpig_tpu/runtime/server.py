@@ -101,7 +101,7 @@ def _split_offload(state, si, k_full, v_full, true_len, lsh,
     """
     p_pad, hkv, d = k_full.shape
     sink, local = lsh.num_sink_tokens, lsh.num_local_tokens
-    off_cap = _off_cap(state.off_k[si], d)
+    off_cap = _off_cap(state.off_v[si], d)
 
     take = min(off_cap, p_pad - sink)
     if window is None:
@@ -155,7 +155,7 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
     (see `_split_offload`).
     """
     hkv, d = k_full.shape[1], k_full.shape[2]
-    off_cap = _off_cap(state.off_k[si], d)
+    off_cap = _off_cap(state.off_v[si], d)
     off_k, off_v, off_len, hot_k, hot_v = _split_offload(
         state, si, k_full, v_full, true_len, lsh, window)
 
@@ -212,12 +212,16 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
                                                kmax[0], req)),
         )
 
+    packed = lsh.offload_quantized and lsh.packed_k4(d)
     if lsh.offload_quantized:
         # Per-row symmetric quantization of the offload region (dense layers
         # and the hot buffer stay exact; see ops.quant). Scales are stored
         # fold-major ([.., f, c] scales token c*fold + f) so the Pallas
         # scorer/attend/lsh kernels stream them with no per-step transpose.
-        # int4 coarsens K only (scores); V keeps the full int8 grid.
+        # int4 coarsens K only (scores); V keeps the full int8 grid. For
+        # block_topk+int4 at d>=64, K is additionally nibble-PACKED two
+        # tokens per byte (`ops/pack4.py`) with scales in the 2*fold-GROUP
+        # layout the packed scorer streams.
         off_k, k_scale = quantize_rows(off_k, lsh.offload_k_bits)
         off_v, v_scale = quantize_rows(off_v)
 
@@ -228,21 +232,44 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
             folded = v.reshape(lhkv, cols, lfold).transpose(0, 2, 1)
             return tuple_set(bufs, i, _write_request(leaf, folded, req))
 
+        if packed:
+            from magicpig_tpu.ops.pack4 import group_scales
+
+            fold = max(128 // d, 1)
+            ks_grp = group_scales(
+                jnp.moveaxis(k_scale.astype(jnp.float32), 1, 0), fold)
+            k_scale_wr = tuple_set(
+                state.off_k_scale, si,
+                _write_request(state.off_k_scale[si], ks_grp, req))
+        else:
+            k_scale_wr = wr_scale(state.off_k_scale, si, k_scale)
         state = state.replace(
-            off_k_scale=wr_scale(state.off_k_scale, si, k_scale),
+            off_k_scale=k_scale_wr,
             off_v_scale=wr_scale(state.off_v_scale, si, v_scale),
         )
 
     # Offload caches are stored token-folded (state.py).
-    rows, lane = state.off_k[si].shape[2], state.off_k[si].shape[3]
 
     def fold_wr(bufs, i, val):  # val [cap, Hkv, d] -> folded leaf layout
+        rows, lane = bufs[i].shape[2], bufs[i].shape[3]
         folded = jnp.moveaxis(val.astype(bufs[i].dtype), 1, 0).reshape(
             hkv, rows, lane)
         return tuple_set(bufs, i, _write_request(bufs[i], folded, req))
 
+    if packed:
+        from magicpig_tpu.ops.pack4 import pack_rows
+
+        fold = max(128 // d, 1)
+        folded_k = jnp.moveaxis(off_k.astype(jnp.int8), 1, 0).reshape(
+            hkv, off_cap // fold, d * fold)
+        off_k_wr = tuple_set(
+            state.off_k, si,
+            _write_request(state.off_k[si], pack_rows(folded_k, fold), req))
+    else:
+        off_k_wr = fold_wr(state.off_k, si, off_k)
+
     return state.replace(
-        off_k=fold_wr(state.off_k, si, off_k),
+        off_k=off_k_wr,
         off_v=fold_wr(state.off_v, si, off_v),
         hot_k=wr(state.hot_k, si, hot_k),
         hot_v=wr(state.hot_v, si, hot_v),
@@ -362,7 +389,7 @@ def _interp() -> bool:
 def _lsh_partial(state, si, q, projections, lsh):
     """LSH-sampled partial over the offload region; returns (out, lse, frac)."""
     b, hq, d = q.shape
-    off_cap = _off_cap(state.off_k[si], d)
+    off_cap = _off_cap(state.off_v[si], d)
     w = state.planes[si].shape[-1]
 
     if lsh.decode_mode == "masked" and _use_pallas(lsh, d):
@@ -441,7 +468,7 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
     "workload" observability metric, `attnserver_dist.py:525-527`).
     """
     b, hq, d = q.shape
-    off_cap = _off_cap(state.off_k[si], d)
+    off_cap = _off_cap(state.off_v[si], d)
 
     if lsh.estimator == "lsh":
         avg = state.avg_k[si]                               # [B,Hkv,d] f32
@@ -483,14 +510,17 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
         blocks = _static_budget(off_cap // bs, lsh.block_topk_budget_frac,
                                 floor=1)
         quant = lsh.offload_quantized
+        packed = quant and lsh.packed_k4(d)
         k_scale = state.off_k_scale[si] if quant else None
         v_scale = state.off_v_scale[si] if quant else None
         off_k, off_v = state.off_k[si], state.off_v[si]
+        fold = max(128 // d, 1)
         if _use_pallas(lsh, d):
-            # Pallas fast path: the scorer reads the raw (folded int8) cache
-            # once (XLA's einsum hoists a lane-padded bf16 copy instead) and
-            # block_attend DMAs only the selected blocks (XLA's gather moves
-            # the same bytes at ~10 GB/s).
+            # Pallas fast path: the scorer reads the raw (folded int8, or
+            # nibble-packed int4) cache once (XLA's einsum hoists a
+            # lane-padded bf16 copy instead) and block_attend DMAs only the
+            # selected blocks (XLA's gather moves the same bytes at
+            # ~10 GB/s).
             from magicpig_tpu.ops.pallas.block_attend import block_attend
             from magicpig_tpu.ops.pallas.score import (
                 exact_scores_ranked,
@@ -498,7 +528,6 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
             )
 
             nb = off_cap // bs
-            fold = max(128 // d, 1)
             # Fold-major scores ([B,Hkv,G*fold,S/fold]; row f*G+g, col c
             # scores token c*fold + f for head g): the layout the scorer
             # emits in one store per grid step and block_attend DMAs one
@@ -506,19 +535,38 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
             # materialize. The length mask (tiny additive input) and the
             # per-block ranking max are FUSED into the scorer, so neither
             # the XLA where pass nor the block-max reduce re-reads the
-            # [B,Hq,S] f32 scores.
-            mask = length_mask(state.off_len, off_cap, fold)
+            # [B,Hq,S] f32 scores. Packed-int4 K swaps in the 2*fold-GROUP
+            # layout end to end (`ops/pack4.py`) — per-block ranking and
+            # the attend are bijective over the same token blocks.
+            if packed:
+                from magicpig_tpu.ops.pack4 import group_length_mask
+
+                mask = group_length_mask(state.off_len, off_cap, fold)
+            else:
+                mask = length_mask(state.off_len, off_cap, fold)
             scores, blk_sc = exact_scores_ranked(
-                q, off_k, k_scale, mask, bs, interpret=_interp())
+                q, off_k, k_scale, mask, bs, interpret=_interp(),
+                packed=packed)
             _, blk_ids = jax.lax.top_k(blk_sc, min(blocks, nb))
             o_off, lse_off = block_attend(scores, blk_ids, off_v, v_scale,
-                                          bs, d, interpret=_interp())
+                                          bs, d, interpret=_interp(),
+                                          packed=packed)
         else:
+            if packed:
+                from magicpig_tpu.ops.pack4 import (
+                    ungroup_scales,
+                    unpack_rows,
+                )
+
+                off_k = unpack_rows(off_k, fold)
+                k_scale_t = ungroup_scales(k_scale, fold)
+            else:
+                k_scale_t = _scale_tokens(k_scale) if quant else None
             off_k = off_k.reshape(b, off_k.shape[1], -1, d)  # unfold
             off_v = off_v.reshape(b, off_v.shape[1], -1, d)
             o_off, lse_off = block_topk_decode(
                 q, off_k, off_v, state.off_len, bs, blocks,
-                k_scale=_scale_tokens(k_scale) if quant else None,
+                k_scale=k_scale_t,
                 v_scale=_scale_tokens(v_scale) if quant else None)
         frac = _realized_frac(blocks * bs, state.off_len)
     elif lsh.estimator == "oracle_sampling":

@@ -54,7 +54,10 @@ class DecodeState:
     hot_len: jax.Array        # [B] i32
 
     # Sparse layers — offloaded middle (model dtype, or int8 when
-    # offload_quant == "int8", with per-row f32 scales):
+    # offload_quant is set, with per-row f32 scales). With packed-int4 K
+    # (`LSHConfig.packed_k4`): off_k is [B, Hkv, off_cap/(2*fold), 128]
+    # nibble-packed bytes and off_k_scale rides the 2*fold-GROUP layout
+    # [B, Hkv, 2*fold, off_cap/(2*fold)] (`ops/pack4.py`).
     off_k: ArrayTuple         # per-layer [B, Hkv, off_cap, d]
     off_v: ArrayTuple
     off_k_scale: ArrayTuple   # per-layer [B,Hkv,fold,off_cap/fold] f32
@@ -85,9 +88,15 @@ def hot_capacity(lsh: LSHConfig) -> int:
     return ((cap + 127) // 128) * 128  # lane-aligned
 
 
-def offload_capacity(lsh: LSHConfig, max_length: int) -> int:
+def offload_capacity(lsh: LSHConfig, max_length: int,
+                     head_dim: int | None = None) -> int:
     cap = max(0, max_length - lsh.num_sink_tokens - lsh.num_local_tokens)
-    return ((cap + 127) // 128) * 128
+    align = 128
+    if head_dim is not None and lsh.packed_k4(head_dim):
+        from magicpig_tpu.ops.pack4 import SPAN_TOKENS
+
+        align = SPAN_TOKENS   # packed rows pair within whole spans
+    return ((cap + align - 1) // align) * align
 
 
 def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
@@ -99,7 +108,7 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
     hkv = config.num_key_value_heads
     d = config.head_dim
     dt = config.dtype
-    off_cap = offload_capacity(lsh, max_length)
+    off_cap = offload_capacity(lsh, max_length, config.head_dim)
     L = max(lsh.L, 1)
     K = max(lsh.K, 1)
 
@@ -117,6 +126,14 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
     # streaming kernels take it natively.
     fold = max(128 // d, 1)
     off_shape = (b, hkv, off_cap // fold, d * fold)
+    # Packed-int4 K (block_topk only, ops/pack4.py): two folded rows per
+    # byte-row; scales ride the 2*fold-GROUP layout the packed scorer
+    # streams. V keeps the int8 folded layout.
+    packed = quant and lsh.packed_k4(d)
+    off_k_shape = ((b, hkv, off_cap // fold // 2, d * fold) if packed
+                   else off_shape)
+    k_scale_shape = ((b, hkv, 2 * fold, off_cap // (2 * fold)) if packed
+                     else (b, hkv, fold, off_cap // fold))
     dfold = max(128 // d, 1)
     assert max_length % dfold == 0
     dense_shape = (b, hkv, max_length // dfold, d * dfold)
@@ -129,10 +146,10 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
         hot_k=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
         hot_v=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
         hot_len=jnp.zeros((b,), jnp.int32),
-        off_k=per_layer(ns, off_shape, off_dt),
+        off_k=per_layer(ns, off_k_shape, off_dt),
         off_v=per_layer(ns, off_shape, off_dt),
-        off_k_scale=per_layer(ns if quant else 0,
-                              (b, hkv, fold, off_cap // fold), jnp.float32),
+        off_k_scale=per_layer(ns if quant else 0, k_scale_shape,
+                              jnp.float32),
         off_v_scale=per_layer(ns if quant else 0,
                               (b, hkv, fold, off_cap // fold), jnp.float32),
         off_len=jnp.zeros((b,), jnp.int32),
