@@ -47,9 +47,12 @@ def make_lsh(mode, K, L):
                          offload_quant="int8")
     if mode == "block_topk4":
         # Packed-int4 K (ops/pack4.py): halves the scorer's HBM stream and
-        # the off_k state vs int8; V stays int8.
+        # the off_k state vs int8; V stays int8. The dense layer's KV is
+        # int8 too (flash_decode in-register dequant) — at 96K that layer
+        # streams 200 MB/request/step in bf16. The full baseline stays
+        # exact-KV (the reference's baseline definition).
         return LSHConfig(K=1, L=0, estimator="block_topk",
-                         offload_quant="int4")
+                         offload_quant="int4", dense_quant="int8")
     raise ValueError(mode)
 
 

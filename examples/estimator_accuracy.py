@@ -71,6 +71,27 @@ def estimator_configs(K: int, L: int):
                                      block_topk_budget_frac=0.08,
                                      offload_quant="int4",
                                      dense_layers=(0,), **base),
+        # 512-token ranking blocks trigger the packed-int4 K storage
+        # (`config.packed_k4` at d=64) — the production block_topk4 mode.
+        "block_topk_int4pk": LSHConfig(K=1, L=0, estimator="block_topk",
+                                       block_topk_block_size=512,
+                                       block_topk_budget_frac=0.08,
+                                       offload_quant="int4",
+                                       dense_layers=(0,), **base),
+        # Same 512 blocks on int8 (separates block-size from quant effects).
+        "block_topk_512_int8": LSHConfig(K=1, L=0, estimator="block_topk",
+                                         block_topk_block_size=512,
+                                         block_topk_budget_frac=0.08,
+                                         offload_quant="int8",
+                                         dense_layers=(0,), **base),
+        # The bench's block_topk4 flagship config exactly: packed-int4 K
+        # + int8 dense-layer KV (`bench.py::make_lsh`).
+        "block_topk4_flagship": LSHConfig(K=1, L=0, estimator="block_topk",
+                                          block_topk_block_size=512,
+                                          block_topk_budget_frac=0.08,
+                                          offload_quant="int4",
+                                          dense_quant="int8",
+                                          dense_layers=(0,), **base),
         f"lsh_K{K}L{L}_int4": LSHConfig(K=K, L=L, decode_mode="masked",
                                         offload_quant="int4", **base),
         "topk_2pct": LSHConfig(K=1, L=0, estimator="topk",

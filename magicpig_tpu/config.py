@@ -283,15 +283,27 @@ class LSHConfig:
     # int8 layout (accuracy knob only). Dense layers and the hot
     # (sink/local) buffer stay exact.
     offload_quant: str = "none"
+    # Dense-layer KV storage: "int8" stores the full-attention layers'
+    # cache per-row symmetric-quantized with fold-major f32 scales
+    # (dequant in-register in flash_decode). At 96K a dense layer streams
+    # 200 MB/request/step in bf16 — int8 halves that and the dense state.
+    # Applies to dense layers under any estimator AND to the K=0 full-
+    # attention baseline. Default exact.
+    dense_quant: str = "none"
 
     def __post_init__(self):
         assert self.estimator in ESTIMATORS, self.estimator
         assert self.offload_quant in ("none", "int8", "int4"), \
             self.offload_quant
+        assert self.dense_quant in ("none", "int8"), self.dense_quant
 
     @property
     def offload_quantized(self) -> bool:
         return self.offload_quant != "none"
+
+    @property
+    def dense_quantized(self) -> bool:
+        return self.dense_quant != "none"
 
     @property
     def offload_k_bits(self) -> int:

@@ -33,9 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
-def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                   m_ref, l_ref, acc_ref, *, blk: int, fold: int, d: int,
-                   sm_scale: float):
+def _decode_kernel(len_ref, q_ref, k_ref, v_ref, *rest, blk: int, fold: int,
+                   d: int, sm_scale: float, quant: bool):
+    if quant:   # scale refs present only on the int8 path
+        ks_ref, vs_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     c = pl.program_id(2)
     nc = pl.num_programs(2)
@@ -52,13 +56,19 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     v = v_ref[0, 0]                                    # [rows, lane]
     g = q.shape[0]
 
-    # Scores for each folded token slot: q @ k_slot^T  -> [G, rows]
+    # Scores for each folded token slot: q @ k_slot^T  -> [G, rows].
+    # int8 K dequantizes AFTER the dot (per-token scale rides the score
+    # row, fold-major ks_ref [fold, rows]).
     parts = []
     for f in range(fold):
         ks = k[:, f * d:(f + 1) * d]                   # [rows, d]
-        parts.append(jax.lax.dot_general(
-            q, ks, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32))       # [G, rows]
+        sf = jax.lax.dot_general(
+            q, ks.astype(jnp.bfloat16) if quant else ks,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [G, rows]
+        if quant:
+            sf = sf * ks_ref[0, 0][f:f + 1, :]
+        parts.append(sf)
     s = jnp.concatenate(parts, axis=-1) * sm_scale     # [G, fold*rows]
 
     # Token index of each score column: slot f covers tokens
@@ -79,12 +89,18 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
     # WV: sum over tokens; token (r, f) value = v[r, f*d:(f+1)*d].
+    # int8 V: the per-token scale multiplies p instead of V (identical
+    # math, and the dot stays bf16xbf16 on the MXU).
     pv = jnp.zeros((g, d), jnp.float32)
     for f in range(fold):
         vs = v[:, f * d:(f + 1) * d]                   # [rows, d]
         pf = p[:, f * rows:(f + 1) * rows]             # [G, rows]
+        if quant:
+            pf = pf * vs_ref[0, 0][f:f + 1, :]
         pv = pv + jax.lax.dot_general(
-            pf.astype(v.dtype), vs, (((1,), (0,)), ((), ())),
+            pf.astype(jnp.bfloat16 if quant else v.dtype),
+            vs.astype(jnp.bfloat16) if quant else vs,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] * alpha + pv
     m_ref[:] = m_new
@@ -111,14 +127,24 @@ def _index_o(b, h, c, lens):
     return (b, h, 0, 0)
 
 
+def _index_sc(b, h, c, lens):
+    return (b, h, 0, c)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sm_scale", "block_tokens", "interpret"))
 def flash_decode(q: jax.Array, k: jax.Array, v: jax.Array,  # noqa: F811
                  length: jax.Array, sm_scale: float | None = None,
-                 block_tokens: int = 8192, interpret: bool = False):
+                 block_tokens: int = 8192, interpret: bool = False,
+                 k_scale: jax.Array | None = None,
+                 v_scale: jax.Array | None = None):
     """Dense decode attention over a cache prefix (see module docstring).
 
-    q: [B, Hq, d]; k, v: [B, Hkv, S, d]; length: [B].
+    q: [B, Hq, d]; k, v: [B, Hkv, S, d] (or token-folded
+    [B, Hkv, S/fold, 128]); length: [B].
+    k_scale/v_scale: optional fold-major [B, Hkv, fold, S/fold] f32 scales
+    for int8 k/v ([.., f, c] scales token c*fold + f, the
+    `runtime/state.py` dense_quant layout) — dequantized in-register.
     Returns (out [B, Hq, d] f32, lse [B, Hq] f32).
     """
     b, hq, d = q.shape
@@ -133,25 +159,34 @@ def flash_decode(q: jax.Array, k: jax.Array, v: jax.Array,  # noqa: F811
     rows = blk // fold
     lane = 128 if fold > 1 else d
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    quant = k_scale is not None
+    assert (v_scale is not None) == quant
 
     qh = q.reshape(b, hkv, g, d)
     k2 = k.reshape(b, hkv, s // fold, lane)
     v2 = v.reshape(b, hkv, s // fold, lane)
+    inputs = [length.astype(jnp.int32), qh, k2, v2]
+    in_specs = [
+        pl.BlockSpec((1, 1, g, d), _index_q, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rows, lane), _index_kv,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rows, lane), _index_kv,
+                     memory_space=pltpu.VMEM),
+    ]
+    if quant:
+        assert k_scale.shape == (b, hkv, fold, s // fold), k_scale.shape
+        inputs += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+        in_specs += [pl.BlockSpec((1, 1, fold, rows), _index_sc,
+                                  memory_space=pltpu.VMEM)] * 2
 
     kernel = functools.partial(_decode_kernel, blk=blk, fold=fold, d=d,
-                               sm_scale=scale)
+                               sm_scale=scale, quant=quant)
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, hkv, s // blk),
-            in_specs=[
-                pl.BlockSpec((1, 1, g, d), _index_q, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, rows, lane), _index_kv,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, rows, lane), _index_kv,
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, 1, g, d), _index_o, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, g, 128), _index_o,
@@ -168,5 +203,5 @@ def flash_decode(q: jax.Array, k: jax.Array, v: jax.Array,  # noqa: F811
             jax.ShapeDtypeStruct((b, hkv, g, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(length.astype(jnp.int32), qh, k2, v2)
+    )(*inputs)
     return out.reshape(b, hq, d), lse[..., 0].reshape(b, hq)

@@ -96,6 +96,10 @@ def state_pspecs(state: DecodeState) -> DecodeState:
     kv = P("data", "model", None, None)
     return DecodeState(
         dense_k=per(state.dense_k, kv), dense_v=per(state.dense_v, kv),
+        dense_k_scale=per(state.dense_k_scale,
+                          P("data", "model", None, None)),
+        dense_v_scale=per(state.dense_v_scale,
+                          P("data", "model", None, None)),
         dense_len=P("data"),
         hot_k=per(state.hot_k, kv), hot_v=per(state.hot_v, kv),
         hot_len=P("data"),

@@ -66,18 +66,39 @@ def fill_dense_layer(state: DecodeState, di: int, req: jax.Array,
                      true_len: jax.Array) -> DecodeState:
     """Store the full prefill K/V for a dense layer (reference
     `attnserver.py:119-123`). k_full/v_full: [P_pad, Hkv, d] seq-major.
-    Dense caches are token-folded [Hkv, cap/fold, d*fold] (state.py)."""
+    Dense caches are token-folded [Hkv, cap/fold, d*fold] (state.py);
+    int8 with fold-major scales when dense_quant == "int8" (inferred from
+    the state — empty dense_k_scale means exact)."""
     p_pad, hkv, d = k_full.shape
     rows, lane = state.dense_k[di].shape[2], state.dense_k[di].shape[3]
     fold = lane // d
 
     def fold_wr(bufs, val):  # val [P_pad, Hkv, d]
-        folded = val.transpose(1, 0, 2).reshape(hkv, p_pad // fold, lane)
+        folded = val.transpose(1, 0, 2).reshape(
+            hkv, p_pad // fold, lane).astype(bufs[di].dtype)
         leaf = bufs[di]
         full = jnp.zeros(leaf.shape[1:], folded.dtype)
         full = jax.lax.dynamic_update_slice(full, folded, (0, 0, 0))
         return tuple_set(bufs, di, _write_request(leaf, full, req))
 
+    def scale_wr(bufs, val):  # val [P_pad, Hkv] token-order scales
+        leaf = bufs[di]                     # [B, Hkv, fold, cap/fold]
+        folded = jnp.moveaxis(val.astype(jnp.float32), 1, 0).reshape(
+            hkv, p_pad // fold, fold).transpose(0, 2, 1)
+        full = jnp.zeros(leaf.shape[1:], jnp.float32)
+        full = jax.lax.dynamic_update_slice(full, folded, (0, 0, 0))
+        return tuple_set(bufs, di, _write_request(leaf, full, req))
+
+    if state.dense_k_scale:
+        k_q, k_sc = quantize_rows(k_full)
+        v_q, v_sc = quantize_rows(v_full)
+        return state.replace(
+            dense_k=fold_wr(state.dense_k, k_q),
+            dense_v=fold_wr(state.dense_v, v_q),
+            dense_k_scale=scale_wr(state.dense_k_scale, k_sc),
+            dense_v_scale=scale_wr(state.dense_v_scale, v_sc),
+            dense_len=state.dense_len.at[req].set(true_len),
+        )
     return state.replace(
         dense_k=fold_wr(state.dense_k, k_full),
         dense_v=fold_wr(state.dense_v, v_full),
@@ -303,6 +324,20 @@ def _append_folded(cache: jax.Array, new: jax.Array, lens: jax.Array,
     return jax.vmap(one)(cache, new, lens)
 
 
+def _append_scale(scales: jax.Array, new: jax.Array,
+                  lens: jax.Array) -> jax.Array:
+    """Append one token's per-head quant scale into a fold-major scale
+    buffer. scales: [B, Hkv, fold, cap/fold]; new: [B, Hkv]; lens: [B]
+    (token t -> row t % fold, column t // fold)."""
+    fold = scales.shape[2]
+
+    def one(s, n, t):
+        return jax.lax.dynamic_update_slice(
+            s, n[:, None, None].astype(s.dtype), (0, t % fold, t // fold))
+
+    return jax.vmap(one)(scales, new, lens)
+
+
 def decode_dense_layer(state: DecodeState, di: int, q: jax.Array,
                        k_new: jax.Array, v_new: jax.Array,
                        window: int | None = None,
@@ -314,8 +349,25 @@ def decode_dense_layer(state: DecodeState, di: int, q: jax.Array,
     `use_pallas`: "auto" = flash-decode on TPU for d<128; "on" forces it
     (interpret mode off-TPU); "off" forces the XLA einsum."""
     b, hq, d = q.shape
-    dense_k = _append_folded(state.dense_k[di], k_new, state.dense_len, d)
-    dense_v = _append_folded(state.dense_v[di], v_new, state.dense_len, d)
+    quant = bool(state.dense_k_scale)
+    if quant:
+        k_q, k_sc = quantize_rows(k_new)                # [B,Hkv,d]/[B,Hkv]
+        v_q, v_sc = quantize_rows(v_new)
+        state = state.replace(
+            dense_k_scale=tuple_set(
+                state.dense_k_scale, di,
+                _append_scale(state.dense_k_scale[di], k_sc,
+                              state.dense_len)),
+            dense_v_scale=tuple_set(
+                state.dense_v_scale, di,
+                _append_scale(state.dense_v_scale[di], v_sc,
+                              state.dense_len)),
+        )
+        k_new, v_new = k_q, v_q
+    dense_k = _append_folded(state.dense_k[di], k_new.astype(
+        state.dense_k[di].dtype), state.dense_len, d)
+    dense_v = _append_folded(state.dense_v[di], v_new.astype(
+        state.dense_v[di].dtype), state.dense_len, d)
     state = state.replace(dense_k=tuple_set(state.dense_k, di, dense_k),
                           dense_v=tuple_set(state.dense_v, di, dense_v))
     pallas_ok = d < 128 and (
@@ -325,14 +377,22 @@ def decode_dense_layer(state: DecodeState, di: int, q: jax.Array,
     if window is None and pallas_ok:
         # Pallas flash-decode reads the folded layout natively; the XLA
         # einsum would hoist a lane-padded 2x copy of the cache per step.
+        # int8 dense caches dequantize in-register (fold-major scales).
         from magicpig_tpu.ops.pallas.decode import flash_decode
 
-        out, _ = flash_decode(q, dense_k, dense_v, state.dense_len + 1,
-                              interpret=_interp())
+        out, _ = flash_decode(
+            q, dense_k, dense_v, state.dense_len + 1, interpret=_interp(),
+            k_scale=state.dense_k_scale[di] if quant else None,
+            v_scale=state.dense_v_scale[di] if quant else None)
     else:
         hkv = dense_k.shape[1]
         ku = dense_k.reshape(b, hkv, -1, d)
         vu = dense_v.reshape(b, hkv, -1, d)
+        if quant:
+            ku = dequantize_rows(
+                ku, _scale_tokens(state.dense_k_scale[di]), jnp.bfloat16)
+            vu = dequantize_rows(
+                vu, _scale_tokens(state.dense_v_scale[di]), jnp.bfloat16)
         extra = None
         if window is not None:
             s = ku.shape[2]

@@ -43,9 +43,13 @@ class DecodeState:
     # Dense (full-attention) layers: per-layer token-folded
     # [B, Hkv, max_len/fold, d*fold] (fold = 128/d; a [.., S, d<128] layout
     # is lane-padded 128/d x by XLA and its decode consumers hoist padded
-    # copies — folded storage is lane-perfect)
+    # copies — folded storage is lane-perfect). With dense_quant == "int8"
+    # the caches are int8 with fold-major f32 scales (empty tuples
+    # otherwise), dequantized in-register by flash_decode.
     dense_k: ArrayTuple
     dense_v: ArrayTuple
+    dense_k_scale: ArrayTuple  # per-layer [B,Hkv,fold,max_len/fold] f32
+    dense_v_scale: ArrayTuple
     dense_len: jax.Array      # [B] i32 — valid tokens per request
 
     # Sparse layers — hot region (sink+local+generated):
@@ -92,10 +96,12 @@ def offload_capacity(lsh: LSHConfig, max_length: int,
                      head_dim: int | None = None) -> int:
     cap = max(0, max_length - lsh.num_sink_tokens - lsh.num_local_tokens)
     align = 128
-    if head_dim is not None and lsh.packed_k4(head_dim):
-        from magicpig_tpu.ops.pack4 import SPAN_TOKENS
-
-        align = SPAN_TOKENS   # packed rows pair within whole spans
+    if lsh.estimator == "block_topk":
+        # The scorer's fused ranking and the fallback's block reshape both
+        # need the capacity to cover whole ranking blocks; packed-int4
+        # storage additionally pairs rows within whole spans (the span IS
+        # the ranking block, `config.packed_k4`).
+        align = max(align, lsh.block_topk_block_size)
     return ((cap + align - 1) // align) * align
 
 
@@ -139,9 +145,17 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
     dense_shape = (b, hkv, max_length // dfold, d * dfold)
     n_pages = max(off_cap // lsh.quest_page_size, 1)
 
+    dq = lsh.dense_quantized and nd > 0
+    dense_dt = jnp.int8 if dq else dt
     return DecodeState(
-        dense_k=per_layer(nd, dense_shape, dt),
-        dense_v=per_layer(nd, dense_shape, dt),
+        dense_k=per_layer(nd, dense_shape, dense_dt),
+        dense_v=per_layer(nd, dense_shape, dense_dt),
+        dense_k_scale=per_layer(nd if dq else 0,
+                                (b, hkv, dfold, max_length // dfold),
+                                jnp.float32),
+        dense_v_scale=per_layer(nd if dq else 0,
+                                (b, hkv, dfold, max_length // dfold),
+                                jnp.float32),
         dense_len=jnp.zeros((b,), jnp.int32),
         hot_k=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),
         hot_v=per_layer(ns, (b, hkv, hot_capacity(lsh), d), dt),

@@ -71,4 +71,33 @@ part = dataclasses.replace(packed, block_topk_budget_frac=0.25,
 o_part = run(part)
 assert np.isfinite(o_part).all()
 print("packed partial-budget decode finite:", o_part.shape)
+
+# int8 dense KV (dense_quant): compiled flash_decode in-register dequant
+# vs the dequantize-then-attend oracle on the real chip.
+from magicpig_tpu.ops.attention import full_decode
+from magicpig_tpu.ops.pallas.decode import flash_decode
+from magicpig_tpu.ops.quant import dequantize_rows, quantize_rows
+
+B, HKV, G, S, D = 2, 2, 4, 2048, 64
+fold = 128 // D
+qd = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
+kd = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+vd = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+kq, ks = quantize_rows(kd)
+vq, vs = quantize_rows(vd)
+length = jnp.asarray([S - 100, 700], jnp.int32)
+want, _ = full_decode(qd, dequantize_rows(kq, ks, jnp.float32),
+                      dequantize_rows(vq, vs, jnp.float32), length)
+
+
+def fold_sc(sc):
+    return sc.reshape(B, HKV, S // fold, fold).transpose(0, 1, 3, 2)
+
+
+got, _ = flash_decode(qd, kq.reshape(B, HKV, S // fold, 128),
+                      vq.reshape(B, HKV, S // fold, 128), length,
+                      k_scale=fold_sc(ks), v_scale=fold_sc(vs))
+e3 = np.abs(np.asarray(got) - np.asarray(want)).max()
+print(f"flash_decode int8 Mosaic vs oracle: max err {e3:.5f}")
+assert e3 < 1e-2, e3
 print("VERIFY OK")

@@ -283,6 +283,41 @@ def test_int4_offload_tracks_bf16(tiny_params, estimator):
         tok = int(le[0].argmax())
 
 
+def test_dense_int8_kv_tracks_exact(tiny_params):
+    """dense_quant="int8" (full-attention K=0 engine: every layer dense)
+    stays within the per-row int8 grid's drift bound on decode logits,
+    through both prefill fill and the decode append path."""
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(1, TINY.vocab_size, size=120).astype(np.int32)
+
+    exact = _make_llm(K=0, L=0, params=tiny_params)
+    quant = _make_llm(K=0, L=0, params=tiny_params, dense_quant="int8")
+
+    le = np.asarray(exact.prefill(prompt))
+    lq = np.asarray(quant.prefill(prompt))
+    err = np.abs(lq - le).max() / max(np.abs(le).max(), 1e-6)
+    assert err < 0.05, f"dense int8 prefill drift: {err}"
+
+    tok = int(le[0].argmax())
+    for _ in range(4):
+        le = np.asarray(exact.inference(np.asarray([tok])))
+        lq = np.asarray(quant.inference(np.asarray([tok])))
+        err = np.abs(lq - le).max() / max(np.abs(le).max(), 1e-6)
+        assert err < 0.08, f"dense int8 decode drift: {err}"
+        tok = int(le[0].argmax())
+
+    # Sparse engine with a quantized dense layer 0 alongside int8 offload.
+    kw = dict(estimator="block_topk", block_topk_block_size=16,
+              block_topk_budget_frac=1.0, K=1, L=0)
+    sp = _make_llm(params=tiny_params, offload_quant="int8",
+                   dense_quant="int8", **kw)
+    sp_ref = _make_llm(params=tiny_params, offload_quant="int8", **kw)
+    ls = np.asarray(sp.prefill(prompt))
+    lr = np.asarray(sp_ref.prefill(prompt))
+    err = np.abs(ls - lr).max() / max(np.abs(lr).max(), 1e-6)
+    assert err < 0.08, f"sparse dense-int8 drift: {err}"
+
+
 def test_continuous_batching_scheduler(tiny_params):
     """Continuous batching: 4 requests over 2 slots; each result must match
     a dedicated single-request engine (greedy)."""

@@ -53,6 +53,39 @@ def test_flash_decode_matches_full_decode(B, HKV, G, S, D, BLK):
     assert np.all(np.isneginf(np.asarray(l3)))
 
 
+@pytest.mark.parametrize("B,HKV,G,S,D,BLK", [
+    (2, 2, 4, 256, 64, 64),
+    (1, 2, 2, 256, 128, 128),
+    (1, 2, 4, 512, 16, 128),
+])
+def test_flash_decode_int8_matches_dequant_oracle(B, HKV, G, S, D, BLK):
+    """int8 dense-cache path (dense_quant): in-register dequant equals the
+    dequantize-then-attend oracle."""
+    from magicpig_tpu.ops.quant import dequantize_rows, quantize_rows
+
+    rng = np.random.default_rng(11)
+    fold = max(128 // D, 1)
+    q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    kq, ks = quantize_rows(k)
+    vq, vs = quantize_rows(v)
+    length = jnp.asarray(rng.integers(1, S, (B,)), jnp.int32)
+    kd = dequantize_rows(kq, ks, jnp.float32)
+    vd = dequantize_rows(vq, vs, jnp.float32)
+    want, want_lse = full_decode(q, kd, vd, length)
+    kf = kq.reshape(B, HKV, S // fold, fold * D)
+    vf = vq.reshape(B, HKV, S // fold, fold * D)
+    got, got_lse = flash_decode(q, kf, vf, length, block_tokens=BLK,
+                                interpret=True,
+                                k_scale=_fold_scale(ks, D),
+                                v_scale=_fold_scale(vs, D))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse),
+                               rtol=5e-3, atol=5e-3)
+
+
 @pytest.mark.parametrize("B,HKV,G,S,D,K,L,BLK", [
     (1, 2, 4, 256, 64, 6, 20, 128),
     (2, 2, 2, 512, 128, 10, 30, 128),
