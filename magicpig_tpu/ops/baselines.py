@@ -14,6 +14,14 @@ All take GQA decode shapes (q [B,Hq,d]; k/v [B,Hkv,S,d]) and return
 (out [B,Hq,d] f32, lse [B,Hq] f32) for LSE-merging with the hot partial,
 except oracle sampling which returns a value-average (lse = -inf suppressed
 merge is not meaningful; it returns its own output directly).
+
+ACCURACY BASELINES ONLY — these compute the full dense score matrix and
+then mask (O(S) FLOPs and bytes regardless of budget), exactly like the
+reference's eval caches. Do NOT use them for throughput comparisons; the
+performance-engineered paths are the Pallas block_topk scorer/attend
+(`ops/pallas/{score,block_attend}.py`) and the fused LSH kernel
+(`ops/pallas/lsh_decode.py`). `block_topk_decode` here doubles as the
+XLA fallback for CPU/debug runs of the block_topk estimator.
 """
 
 from __future__ import annotations
