@@ -33,6 +33,54 @@ _NEG = -1e30
 _NBUF = 2
 
 
+def online_update(s_all, vslot, vsslot, m_ref, l_ref, acc_ref, *,
+                  fold: int, g: int, d: int, quant: bool, pk: int):
+    """Chunk-batched online softmax + V accumulation (shared with
+    `rescore_attend`): ONE max/exp/sum over all ch buffered blocks, then
+    one ch-batched MXU dot per group. Rows i*G + g of the score slice
+    belong to query head g; the per-head stats reduce the ng row-groups
+    with G-sublane slices. Group i = hlf*fold + f maps to the block's
+    folded V rows hlf*rows..(hlf+1)*rows at fold slot f (hlf always 0
+    unpacked; packed layout in ops/pack4.py).
+
+    s_all: [ch, ng*G, rows] f32 scores (-inf masked);
+    vslot: [ch, vrows, lane] V blocks; vsslot: [ch, fold, vrows] f32 or
+    None; m/l/acc refs: [G, 128]/[G, 128]/[G, d] VMEM state.
+    """
+    ng = pk * fold
+    rows = s_all.shape[-1]
+    m_prev = m_ref[:]                               # [G, 128]
+    mrow = jnp.max(jnp.max(s_all, axis=0), axis=-1,
+                   keepdims=True)                   # [ng*G, 1]
+    mg = mrow[:g]
+    for i in range(1, ng):
+        mg = jnp.maximum(mg, mrow[i * g:(i + 1) * g])
+    m_new = jnp.maximum(m_prev, mg)                 # [G, 128]
+    alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
+    m8 = jnp.concatenate([m_new[:, :1]] * ng, axis=0)    # [ng*G, 1]
+    p = jnp.exp(s_all - m8)                         # [ch, ng*G, rows]
+    lrow = jnp.sum(jnp.sum(p, axis=0), axis=-1,
+                   keepdims=True)                   # [ng*G, 1]
+    lg = lrow[:g]
+    for i in range(1, ng):
+        lg = lg + lrow[i * g:(i + 1) * g]
+    l_ref[:] = l_ref[:] * alpha + lg
+    pv = jnp.zeros_like(acc_ref)
+    for i in range(ng):
+        hlf, f = i // fold, i % fold
+        pf = p[:, i * g:(i + 1) * g, :]             # [ch, G, rows]
+        if quant:
+            pf = pf * vsslot[:, f:f + 1, hlf * rows:(hlf + 1) * rows]
+        vf = vslot[:, hlf * rows:(hlf + 1) * rows, f * d:(f + 1) * d]
+        out = jax.lax.dot_general(
+            pf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # [ch, G, d]
+        pv = pv + jnp.sum(out, axis=0)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = m_new
+
+
 def _kernel(ids_ref, s_hbm, v_hbm, vs_hbm, o_ref, lse_ref,
             sbuf, vbuf, vsbuf, sems, m_ref, l_ref, acc_ref, *,
             fold: int, d: int, g: int, quant: bool, nbp: int, ch: int,
@@ -88,45 +136,11 @@ def _kernel(ids_ref, s_hbm, v_hbm, vs_hbm, o_ref, lse_ref,
             issue((ci + 1) % _NBUF, ci + 1)
 
         wait(slot, ci)
-        # Chunk-batched online softmax: ONE max/exp/sum over all ch blocks,
-        # then one ch-batched MXU dot per group. Rows i*G + g of the score
-        # slice belong to query head g; the per-head stats reduce the ng
-        # row-groups with G-sublane slices. Group i = hlf*fold + f maps to
-        # the block's folded V rows hlf*rows..(hlf+1)*rows at fold slot f
-        # (hlf always 0 unpacked; packed layout in ops/pack4.py).
         s_all = sbuf[pl.ds(slot, 1)][0]                 # [ch, ng*G, rows]
-        m_prev = m_ref[:]                               # [G, 128]
-        mrow = jnp.max(jnp.max(s_all, axis=0), axis=-1,
-                       keepdims=True)                   # [ng*G, 1]
-        mg = mrow[:g]
-        for i in range(1, ng):
-            mg = jnp.maximum(mg, mrow[i * g:(i + 1) * g])
-        m_new = jnp.maximum(m_prev, mg)                 # [G, 128]
-        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
-        m8 = jnp.concatenate([m_new[:, :1]] * ng, axis=0)    # [ng*G, 1]
-        p = jnp.exp(s_all - m8)                         # [ch, ng*G, rows]
-        lrow = jnp.sum(jnp.sum(p, axis=0), axis=-1,
-                       keepdims=True)                   # [ng*G, 1]
-        lg = lrow[:g]
-        for i in range(1, ng):
-            lg = lg + lrow[i * g:(i + 1) * g]
-        l_ref[:] = l_ref[:] * alpha + lg
-        pv = jnp.zeros_like(acc_ref)
-        for i in range(ng):
-            hlf, f = i // fold, i % fold
-            pf = p[:, i * g:(i + 1) * g, :]             # [ch, G, rows]
-            if quant:
-                pf = pf * vsbuf[pl.ds(slot, 1)][0][
-                    :, f:f + 1, hlf * rows:(hlf + 1) * rows]
-            vf = vbuf[pl.ds(slot, 1)][0][
-                :, hlf * rows:(hlf + 1) * rows, f * d:(f + 1) * d]
-            out = jax.lax.dot_general(
-                pf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)     # [ch, G, d]
-            pv = pv + jnp.sum(out, axis=0)
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = m_new
+        vslot = vbuf[pl.ds(slot, 1)][0]
+        vsslot = vsbuf[pl.ds(slot, 1)][0] if quant else None
+        online_update(s_all, vslot, vsslot, m_ref, l_ref, acc_ref,
+                      fold=fold, g=g, d=d, quant=quant, pk=pk)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)

@@ -41,9 +41,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, scale_ref, mask_ref, o_ref, bm_ref, *, fold: int,
+def _kernel(q_ref, k_ref, scale_ref, mask_ref, *outs, fold: int,
             g: int, quant: bool, masked: bool, bs_cols: int,
-            packed: bool = False):
+            packed: bool = False, rank_only: bool = False):
+    if rank_only:          # block-max output only (rescore pipeline)
+        o_ref, bm_ref = None, outs[0]
+    elif len(outs) == 2:
+        o_ref, bm_ref = outs
+    else:
+        o_ref, bm_ref = outs[0], None
+
     def rep_groups(a, lo_g, n):
         # [groups, rows] -> [n*G, rows]: group rows repeated per query head.
         return jnp.concatenate(
@@ -72,7 +79,8 @@ def _kernel(q_ref, k_ref, scale_ref, mask_ref, o_ref, bm_ref, *, fold: int,
              raw_hi * rep_groups(sc, fold, fold)], axis=0)  # [2GF, rows_p]
         if masked:
             raw = raw + rep_groups(mask_ref[0, 0], 0, 2 * fold)
-        o_ref[0, 0] = raw
+        if o_ref is not None:
+            o_ref[0, 0] = raw
         if bm_ref is not None:
             nbs = raw.shape[1] // bs_cols
             bm = jnp.concatenate(
@@ -91,7 +99,8 @@ def _kernel(q_ref, k_ref, scale_ref, mask_ref, o_ref, bm_ref, *, fold: int,
         raw = raw * rep_groups(sc, 0, fold)
     if masked:
         raw = raw + rep_groups(mask_ref[0, 0], 0, fold)
-    o_ref[0, 0] = raw
+    if o_ref is not None:
+        o_ref[0, 0] = raw
     if bm_ref is not None:
         # Fused block ranking: max over the GQA group and each ranking
         # block's columns (static slices — a lane-splitting reshape would
@@ -129,7 +138,7 @@ def _ibm(b, h, c):
 
 
 def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
-                 interpret, packed=False):
+                 interpret, packed=False, rank_only=False):
     b, hq, d = q.shape
     hkv = k.shape[1]
     pk = 2 if packed else 1   # tokens per stored byte-row, relative to fold
@@ -187,11 +196,17 @@ def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
     bs_cols = (rank_block // (pk * fold)) if rank_block is not None else 0
     kernel = functools.partial(_kernel, fold=fold, g=g, quant=quant,
                                masked=masked, bs_cols=bs_cols,
-                               packed=packed)
-    out_specs = [pl.BlockSpec((1, 1, pk * gf, rows), _isc,
-                              memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((b, hkv, pk * gf, cols),
-                                      jnp.float32)]
+                               packed=packed, rank_only=rank_only)
+    assert not rank_only or rank_block is not None
+    if rank_only:
+        # Block-max only: the [B,Hq,S] f32 score array never touches HBM
+        # (the rescore-attend pipeline recomputes selected blocks' scores).
+        out_specs, out_shape = [], []
+    else:
+        out_specs = [pl.BlockSpec((1, 1, pk * gf, rows), _isc,
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((b, hkv, pk * gf, cols),
+                                          jnp.float32)]
     if rank_block is not None:
         nb = s // rank_block
         nbs = blk // rank_block
@@ -206,6 +221,7 @@ def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
     else:
         kernel = functools.partial(_nobm_kernel, inner=kernel)
 
+    multi = len(out_specs) > 1
     res = pl.pallas_call(
         kernel,
         grid=(b, hkv, s // blk),
@@ -215,10 +231,12 @@ def _scores_call(q, k, k_scale, mask, sm_scale, block_tokens, rank_block,
             pl.BlockSpec((1, 1, grp, rows), _isc, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, grp, rows), _imask, memory_space=pltpu.VMEM),
         ],
-        out_specs=tuple(out_specs) if rank_block is not None else out_specs[0],
-        out_shape=tuple(out_shape) if rank_block is not None else out_shape[0],
+        out_specs=tuple(out_specs) if multi else out_specs[0],
+        out_shape=tuple(out_shape) if multi else out_shape[0],
         interpret=interpret,
     )(q2, k2, scale_f, mask4)
+    if rank_only:
+        return None, res[..., 0]                        # [B,Hkv,nb]
     if rank_block is not None:
         return res[0], res[1][..., 0]                   # scores, [B,Hkv,nb]
     return res
@@ -275,6 +293,24 @@ def exact_scores_ranked(q: jax.Array, k: jax.Array,
     """
     return _scores_call(q, k, k_scale, mask, sm_scale, block_tokens,
                         rank_block, interpret, packed=packed)
+
+
+@functools.partial(jax.jit, static_argnames=("rank_block", "sm_scale",
+                                             "block_tokens", "interpret",
+                                             "packed"))
+def block_rank(q: jax.Array, k: jax.Array, k_scale: jax.Array | None,
+               mask: jax.Array, rank_block: int,
+               sm_scale: float | None = None, block_tokens: int = 65536,
+               interpret: bool = False, packed: bool = False) -> jax.Array:
+    """Per-block ranking max ONLY — same math as `exact_scores_ranked` but
+    the [B, Hq, S] f32 score array never leaves the kernel (no HBM store):
+    the rescore-attend pipeline (`ops/pallas/rescore_attend.py`) recomputes
+    the selected blocks' scores from the same K stream, bit-identically.
+    Returns block_max [B, Hkv, S/rank_block] f32."""
+    _, bm = _scores_call(q, k, k_scale, mask, sm_scale, block_tokens,
+                         rank_block, interpret, packed=packed,
+                         rank_only=True)
+    return bm
 
 
 def length_mask(length: jax.Array, s: int, fold: int) -> jax.Array:

@@ -604,13 +604,32 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
                 mask = group_length_mask(state.off_len, off_cap, fold)
             else:
                 mask = length_mask(state.off_len, off_cap, fold)
-            scores, blk_sc = exact_scores_ranked(
-                q, off_k, k_scale, mask, bs, interpret=_interp(),
-                packed=packed)
-            _, blk_ids = jax.lax.top_k(blk_sc, min(blocks, nb))
-            o_off, lse_off = block_attend(scores, blk_ids, off_v, v_scale,
-                                          bs, d, interpret=_interp(),
-                                          packed=packed)
+            if quant:
+                # Rank-then-rescore: pass 1 emits only per-block maxes (the
+                # [B,Hq,S] f32 score array never touches HBM); pass 2
+                # recomputes the selected blocks' scores in-kernel from the
+                # same quantized K stream — bit-identical dots
+                # (ops/pallas/rescore_attend.py).
+                from magicpig_tpu.ops.pallas.rescore_attend import (
+                    rescore_attend,
+                )
+                from magicpig_tpu.ops.pallas.score import block_rank
+
+                blk_sc = block_rank(q, off_k, k_scale, mask, bs,
+                                    interpret=_interp(), packed=packed)
+                _, blk_ids = jax.lax.top_k(blk_sc, min(blocks, nb))
+                o_off, lse_off = rescore_attend(
+                    q, blk_ids, off_k, k_scale, off_v, v_scale,
+                    state.off_len, bs, d, interpret=_interp(),
+                    packed=packed)
+            else:
+                scores, blk_sc = exact_scores_ranked(
+                    q, off_k, k_scale, mask, bs, interpret=_interp(),
+                    packed=packed)
+                _, blk_ids = jax.lax.top_k(blk_sc, min(blocks, nb))
+                o_off, lse_off = block_attend(
+                    scores, blk_ids, off_v, v_scale, bs, d,
+                    interpret=_interp(), packed=packed)
         else:
             if packed:
                 from magicpig_tpu.ops.pack4 import (

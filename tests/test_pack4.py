@@ -151,6 +151,63 @@ def test_packed_block_attend_matches_oracle(D):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("packed,D", [(True, 64), (True, 128),
+                                      (False, 64), (False, 128)])
+def test_rescore_attend_matches_score_store_pipeline(packed, D):
+    """block_rank + rescore_attend must reproduce the score-store pipeline
+    (exact_scores_ranked + block_attend) for the same selected blocks —
+    the dots are bit-identical, so agreement is to float tolerance."""
+    from magicpig_tpu.ops.pallas.block_attend import block_attend
+    from magicpig_tpu.ops.pallas.rescore_attend import rescore_attend
+    from magicpig_tpu.ops.pallas.score import (
+        block_rank,
+        exact_scores_ranked,
+        length_mask,
+    )
+
+    rng = np.random.default_rng(7)
+    B, HKV, G, NBP = 2, 2, 4, 3
+    S = 4 * SPAN_TOKENS
+    fold = max(128 // D, 1)
+    bits = 4 if packed else 8
+    q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    length = jnp.asarray([S - 300, 900], jnp.int32)
+    kq, ks = quantize_rows(k, bits=bits)
+    vq, vs = quantize_rows(v)
+    k_fold = kq.reshape(B, HKV, S // fold, 128)
+    v_fold = vq.reshape(B, HKV, S // fold, 128)
+    vs_fold = vs.reshape(B, HKV, S // fold, fold).transpose(0, 1, 3, 2)
+
+    if packed:
+        k_in = pack_rows(k_fold, fold)
+        ks_in = group_scales(ks, fold)
+        mask = group_length_mask(length, S, fold)
+    else:
+        k_in = k_fold
+        ks_in = ks.reshape(B, HKV, S // fold, fold).transpose(0, 1, 3, 2)
+        mask = length_mask(length, S, fold)
+
+    scores, bm_ref = exact_scores_ranked(q, k_in, ks_in, mask, SPAN_TOKENS,
+                                         interpret=True, packed=packed)
+    bm = block_rank(q, k_in, ks_in, mask, SPAN_TOKENS, interpret=True,
+                    packed=packed)
+    np.testing.assert_array_equal(np.asarray(bm), np.asarray(bm_ref))
+
+    _, blk_ids = jax.lax.top_k(bm, NBP)
+    want, want_lse = block_attend(scores, blk_ids, v_fold, vs_fold,
+                                  SPAN_TOKENS, D, interpret=True,
+                                  packed=packed)
+    got, got_lse = rescore_attend(q, blk_ids, k_in, ks_in, v_fold, vs_fold,
+                                  length, SPAN_TOKENS, D, interpret=True,
+                                  packed=packed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse),
+                               rtol=2e-3, atol=2e-3)
+
+
 def _fill_decode(lsh, d, s_cap, use_pallas, k_full, v_full, true_lens,
                  q, k_new, v_new):
     from magicpig_tpu.config import ModelConfig
