@@ -99,7 +99,8 @@ def worker(args):
         # Real chunked-prefill wall time at context P (flagship estimator
         # state build included: centering, quant, landmarks/planes).
         lsh = make_lsh("block_topk", args.K, args.L)
-        llm = LLM(cfg, batch_size=1, max_length=args.M, lsh=lsh, seed=0)
+        llm = LLM(cfg, batch_size=1, max_length=args.M, lsh=lsh, seed=0,
+                  chunk_size=args.chunk)
         ids = np.random.default_rng(0).integers(
             1, cfg.vocab_size, size=args.P).astype(np.int32)
         import jax
@@ -114,7 +115,8 @@ def worker(args):
               flush=True)
         return
     lsh = make_lsh(args.worker, args.K, args.L)
-    llm = LLM(cfg, batch_size=args.B, max_length=args.M, lsh=lsh, seed=0)
+    llm = LLM(cfg, batch_size=args.B, max_length=args.M, lsh=lsh, seed=0,
+              chunk_size=args.chunk)
     synthetic_prefill(llm, args.P, seed=1)
     print(f"# worker[{args.worker} B={args.B}]: fill done at "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
@@ -178,6 +180,10 @@ def main():
     p.add_argument("--modes", type=str, default="full,block_topk,lsh",
                    help="comma list of modes to measure")
     p.add_argument("--hbm-gb", type=float, default=13.5)
+    p.add_argument("--chunk", type=int, default=8192,
+                   help="prefill chunk tokens; bigger chunks re-read the "
+                        "weights fewer times (P/chunk passes) at the cost "
+                        "of a ~C*S*Hq*4B/8192 attention transient")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--baseline-tps", type=float, default=0.0,
                    help="inject a previously-measured full-attention tok/s")
@@ -250,6 +256,7 @@ def main():
             for flag, val in (("--model", args.model), ("--P", args.P),
                               ("--M", args.M), ("--G", args.G),
                               ("--K", args.K), ("--L", args.L),
+                              ("--chunk", args.chunk),
                               ("--weight-quant", args.weight_quant)):
                 cmd += [flag, str(val)]
             try:
