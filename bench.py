@@ -45,6 +45,13 @@ def make_lsh(mode, K, L):
     if mode == "block_topk":
         return LSHConfig(K=1, L=0, estimator="block_topk",
                          offload_quant="int8")
+    if mode == "block_topk_store":
+        # Safety-net config: the round-2 score-store pipeline with int8
+        # offload — the exact configuration with a measured history
+        # (305.6 tok/s B=5). Auto-run only if every rescore-pipeline mode
+        # fails on hardware.
+        return LSHConfig(K=1, L=0, estimator="block_topk",
+                         offload_quant="int8", block_topk_pipeline="store")
     if mode == "block_topk4":
         # Packed-int4 K (ops/pack4.py): halves the scorer's HBM stream and
         # the off_k state vs int8; V stays int8. The dense layer's KV is
@@ -174,10 +181,12 @@ def main():
     p.add_argument("--L", type=int, default=150)
     p.add_argument("--B", type=int, default=0,
                    help="fixed batch for ALL modes (0 = per-mode max batch)")
-    p.add_argument("--mode", type=str, default="block_topk",
-                   choices=["block_topk", "block_topk4", "lsh", "full", "prefill"],
+    p.add_argument("--mode", type=str, default="block_topk4",
+                   choices=["block_topk", "block_topk4", "block_topk_store",
+                            "lsh", "full", "prefill"],
                    help="flagship mode for the headline JSON")
-    p.add_argument("--modes", type=str, default="full,block_topk,lsh",
+    p.add_argument("--modes", type=str,
+                   default="full,block_topk4,block_topk,lsh",
                    help="comma list of modes to measure")
     p.add_argument("--hbm-gb", type=float, default=13.5)
     p.add_argument("--chunk", type=int, default=8192,
@@ -238,7 +247,8 @@ def main():
         return
 
     results = {}
-    for mode in modes:
+
+    def measure(mode):
         if mode == "prefill" or args.B > 0:
             B = max(args.B, 1)
         else:
@@ -299,7 +309,29 @@ def main():
         if mode not in results:
             print(f"# {mode}: no batch fit", file=sys.stderr)
 
+    for mode in modes:
+        measure(mode)
+    sparse = [m for m in modes if m not in ("full", "prefill")]
+    if sparse and not any(m in results for m in sparse):
+        # Every rescore-pipeline mode failed (e.g. a Mosaic lowering
+        # regression on this round's toolchain): fall back to the
+        # measured-history score-store pipeline so the round still
+        # records a real number.
+        print("# all sparse modes failed; trying block_topk_store "
+              "fallback", file=sys.stderr)
+        measure("block_topk_store")
+
     flag = results.get(args.mode)
+    head_mode = args.mode
+    if flag is None:
+        # Headline mode failed — report the best measured sparse mode
+        # (honestly labeled in the metric name) instead of a zero.
+        cands = [(m, r) for m, r in results.items()
+                 if m not in ("full", "prefill")]
+        if cands:
+            head_mode, flag = max(cands, key=lambda kv: kv[1][0])
+            print(f"# headline fallback: {args.mode} failed, reporting "
+                  f"{head_mode}", file=sys.stderr)
     base_tps = (args.baseline_tps if args.baseline_tps > 0
                 else results.get("full", (0, 0, 0))[0])
     if flag is None:
@@ -308,7 +340,7 @@ def main():
         return
     print(json.dumps({
         "metric": (f"decode_throughput_{args.model}_ctx{args.P}_"
-                   f"{args.mode}_maxbatch"),
+                   f"{head_mode}_maxbatch"),
         "value": round(flag[0], 3),
         "unit": "tokens/s/chip",
         "vs_baseline": round(flag[0] / base_tps, 3) if base_tps else 0,

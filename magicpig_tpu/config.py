@@ -268,6 +268,13 @@ class LSHConfig:
     # block_topk (TPU-native fast estimator): exact-score block ranking.
     block_topk_block_size: int = 512
     block_topk_budget_frac: float = 0.08
+    # Pallas pipeline for quantized block_topk decode: "rescore" (default)
+    # ranks from block-maxes only and recomputes selected blocks' scores
+    # in-kernel (the [B,Hq,S] f32 scores never touch HBM,
+    # ops/pallas/rescore_attend.py); "store" keeps the round-2 score-store
+    # pipeline (exact_scores_ranked + block_attend) — the measured-history
+    # fallback. The two are parity-tested equal.
+    block_topk_pipeline: str = "rescore"
     # LSH masked decode backend: "auto" uses the fused Pallas streaming
     # kernel on TPU (ops/pallas/lsh_decode.py) and pure XLA elsewhere;
     # "on"/"off" force it. The Pallas path currently requires bf16 offload.
@@ -296,6 +303,8 @@ class LSHConfig:
         assert self.offload_quant in ("none", "int8", "int4"), \
             self.offload_quant
         assert self.dense_quant in ("none", "int8"), self.dense_quant
+        assert self.block_topk_pipeline in ("rescore", "store"), \
+            self.block_topk_pipeline
 
     @property
     def offload_quantized(self) -> bool:

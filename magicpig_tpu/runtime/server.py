@@ -604,12 +604,13 @@ def decode_sparse_layer(state: DecodeState, si: int, q: jax.Array,
                 mask = group_length_mask(state.off_len, off_cap, fold)
             else:
                 mask = length_mask(state.off_len, off_cap, fold)
-            if quant:
+            if quant and lsh.block_topk_pipeline == "rescore":
                 # Rank-then-rescore: pass 1 emits only per-block maxes (the
                 # [B,Hq,S] f32 score array never touches HBM); pass 2
                 # recomputes the selected blocks' scores in-kernel from the
                 # same quantized K stream — bit-identical dots
-                # (ops/pallas/rescore_attend.py).
+                # (ops/pallas/rescore_attend.py). "store" keeps the
+                # score-store pipeline (parity-tested equal).
                 from magicpig_tpu.ops.pallas.rescore_attend import (
                     rescore_attend,
                 )
