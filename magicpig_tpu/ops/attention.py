@@ -54,11 +54,13 @@ def _gqa_reshape(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "sm_scale", "window",
-                                             "differentiable"))
+                                             "differentiable",
+                                             "return_lse"))
 def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   q_offset: jnp.ndarray, kv_len: jnp.ndarray,
                   block_k: int = 1024, sm_scale: float | None = None,
-                  window: int | None = None, differentiable: bool = False):
+                  window: int | None = None, differentiable: bool = False,
+                  return_lse: bool = False):
     """Causal attention for a prefill chunk against the filled KV prefix.
 
     q: [B, Sq, Hq, d] — chunk queries at absolute positions q_offset..+Sq.
@@ -69,7 +71,11 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     of the dynamic-bound fori_loop (reverse-mode AD cannot differentiate a
     dynamic-bound loop) — training callers set this; inference keeps the
     causal-triangle skip.
-    Returns [B, Sq, Hq, d] in q.dtype.
+    return_lse: also return the per-query log-sum-exp [B, Sq, Hq] f32
+    (-inf for fully-masked queries) for cross-shard LSE merging — the
+    ring sequence-parallel prefill (`parallel/ring.py`) merges per-shard
+    partials with it.
+    Returns [B, Sq, Hq, d] in q.dtype (plus lse when return_lse).
     """
     b, sq, hq, d = q.shape
     skv = k.shape[1]
@@ -132,7 +138,11 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             blk_lo, nblk_dyn,
             lambda blk, carry: body(carry, blk)[0], (m0, l0, acc0))
     out = acc / _safe_denom(l)[..., None]
-    return out.reshape(b, hq, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)
+    out = out.reshape(b, hq, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)
+    if return_lse:
+        lse = jnp.where(l > 0, m + jnp.log(_safe_denom(l)), -jnp.inf)
+        return out, lse.reshape(b, hq, sq).transpose(0, 2, 1)
+    return out
 
 
 # ---------------------------------------------------------------------------
