@@ -264,8 +264,12 @@ def test_server_packed_block_topk_paths_agree():
     def run(lsh, up):
         return _fill_decode(lsh, args[0], args[1], up, *args[2:])
 
-    o_pallas = run(packed, "on")     # packed Pallas kernels (interpret)
+    o_pallas = run(packed, "on")     # packed rescore pipeline (interpret)
     o_fallback = run(packed, "off")  # packed storage, XLA unpack fallback
     o_ref = run(unpacked, "off")     # unpacked int4, small blocks
     np.testing.assert_allclose(o_pallas, o_fallback, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(o_pallas, o_ref, rtol=2e-3, atol=2e-3)
+    # The score-store pipeline knob must agree with rescore (default).
+    o_store = run(dataclasses.replace(packed,
+                                      block_topk_pipeline="store"), "on")
+    np.testing.assert_allclose(o_pallas, o_store, rtol=2e-3, atol=2e-3)
