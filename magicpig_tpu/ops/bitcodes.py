@@ -132,6 +132,13 @@ def build_planes(keys: jax.Array, projections: jax.Array, K: int,
     K = int(K)
     L = lk // K
     chunk = min(chunk, s)
+    if s % chunk:
+        # s (the offload capacity) is always WORD-aligned but need not be
+        # a multiple of the default chunk (e.g. 8448 at an 8K context):
+        # take the largest WORD-multiple divisor <= chunk. WORD itself
+        # always qualifies, so the search cannot come up empty.
+        chunk = next(c for c in range(chunk - chunk % WORD, WORD - 1,
+                                      -WORD) if s % c == 0)
     assert s % chunk == 0 and chunk % WORD == 0
     n_chunks = s // chunk
 

@@ -82,6 +82,19 @@ def test_build_planes_chunked_equals_direct():
     np.testing.assert_array_equal(np.asarray(chunked), np.asarray(direct))
 
 
+def test_build_planes_non_divisible_default_chunk():
+    """S > chunk with S % chunk != 0 (e.g. the 8448-token offload capacity
+    of an 8K context vs the 8192 default) must fall back to the largest
+    WORD-multiple divisor, not assert."""
+    key = jax.random.key(5)
+    S, H, D, K, L = 8448, 1, 16, 2, 3
+    keys = jax.random.normal(key, (S, H, D))
+    proj = make_hash_projections(jax.random.key(6), D, K, L)
+    direct = pack_bitplanes(hash_bits(keys, proj, K).transpose(1, 0, 2, 3))
+    chunked = build_planes(keys, proj, K)   # default chunk=8192
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(direct))
+
+
 def test_valid_words():
     lens = jnp.asarray([0, 1, 31, 32, 33, 64, 70])
     vw = np.asarray(valid_words(lens, 3))
