@@ -17,10 +17,17 @@ formulation mapped to ICI:
   * partials combine with the same LSE merge the decode path uses
     (`ops/merge.py` math, inlined here for the [B, Sq, Hq] layout).
 
-Plain ring (not zigzag/striped): with causal masking device r does useful
-work on r+1 of the N steps, so utilization is ~(N+1)/2N — the standard
-first-order ring; a striped layout is a layout-level upgrade that does
-not change this op's contract.
+Two layouts:
+  * `layout="contiguous"`: device r owns the global slice
+    [r*S/N, (r+1)*S/N). With causal masking device r does useful work on
+    r+1 of the N steps — utilization ~(N+1)/2N.
+  * `layout="zigzag"` (default): device r owns chunks r AND 2N-1-r of
+    2N chunks (the ring-flash-attention balance trick): every device
+    holds one early and one mirrored late chunk, so per-step causal work
+    is uniform across the ring. Fully-masked (future) source chunks are
+    skipped with `lax.cond`, so the imbalance saving is real compute,
+    not just masking. The wrapper permutes in/out of zigzag order, so
+    the op contract (global-order arrays) is unchanged.
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from magicpig_tpu.ops.attention import flash_prefill
@@ -48,40 +56,115 @@ def _merge(o1, l1, o2, l2):
     return o, lse
 
 
+def _zigzag_perm(s: int, n: int) -> jnp.ndarray:
+    """Global token index held at zigzag position i: device r's shard is
+    [chunk r ; chunk 2n-1-r] of 2n chunks of c = s/(2n) tokens."""
+    c = s // (2 * n)
+    idx = []
+    for r in range(n):
+        idx.append(np.arange(r * c, (r + 1) * c))
+        idx.append(np.arange((2 * n - 1 - r) * c, (2 * n - r) * c))
+    return jnp.asarray(np.concatenate(idx), jnp.int32)
+
+
 def ring_prefill(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
                  axis: str = "seq", sm_scale: float | None = None,
-                 block_k: int = 1024) -> jax.Array:
+                 block_k: int = 1024, layout: str = "zigzag") -> jax.Array:
     """Causal self-attention with the sequence sharded over `axis`.
 
-    q: [B, S, Hq, d]; k, v: [B, S, Hkv, d] — S must divide by the axis
-    size; RoPE (global positions) is the caller's job, as in the engine's
-    prefill. Returns [B, S, Hq, d] in q.dtype, sharded like q.
+    q: [B, S, Hq, d]; k, v: [B, S, Hkv, d] in GLOBAL token order — S must
+    divide by 2x the axis size; RoPE (global positions) is the caller's
+    job, as in the engine's prefill. Returns [B, S, Hq, d] in q.dtype,
+    sharded like q. `layout`: see module docstring.
     """
+    n = mesh.shape[axis]
+    s = q.shape[1]
+    assert layout in ("zigzag", "contiguous"), layout
+    zig = layout == "zigzag"
+    if zig:
+        assert s % (2 * n) == 0, (s, n)
+        c = s // (2 * n)
+        perm_idx = _zigzag_perm(s, n)
+        q, k, v = (a[:, perm_idx] for a in (q, k, v))
+    else:
+        assert s % n == 0, (s, n)
+
     def shard_fn(qs, ks, vs):
-        n = jax.lax.axis_size(axis)
+        nn = jax.lax.axis_size(axis)
         r = jax.lax.axis_index(axis)
         sl = qs.shape[1]
-        perm = [(i, (i + 1) % n) for i in range(n)]
+        perm = [(i, (i + 1) % nn) for i in range(nn)]
+        b, _, hq, d = qs.shape
+
+        def attend(qc, kc, vc, rel):
+            """One contiguous (q-chunk, k-chunk) pair at relative offset
+            rel = q_start - k_start; lax.cond skips fully-future sources
+            (that's the zigzag balance actually saving compute)."""
+            cq = qc.shape[1]
+
+            def live(_):
+                return flash_prefill(
+                    qc, kc, vc, q_offset=rel, kv_len=jnp.int32(kc.shape[1]),
+                    block_k=min(block_k, kc.shape[1]), sm_scale=sm_scale,
+                    return_lse=True)
+
+            def dead(_):
+                return (jnp.zeros((b, cq, hq, d), qc.dtype),
+                        jnp.full((b, cq, hq), -jnp.inf, jnp.float32))
+
+            o, l = jax.lax.cond(rel + cq > 0, live, dead, None)
+            return o.astype(jnp.float32), l
+
+        if zig:
+            # Shard = [chunk r ; chunk 2nn-1-r]; global chunk start of the
+            # half h on rank x: x*c for h=0, (2*nn-1-x)*c for h=1.
+            def start(x, h):
+                return jnp.where(h == 0, x * c, (2 * nn - 1 - x) * c)
+
+            def step(t, carry):
+                out0, lse0_, out1, lse1_, kb, vb = carry
+                src = (r - t) % nn
+                outs = [(out0, lse0_), (out1, lse1_)]
+                for qi in range(2):
+                    o_acc, l_acc = outs[qi]
+                    for ki in range(2):
+                        rel = start(r, qi) - start(src, ki)
+                        o_t, l_t = attend(
+                            qs[:, qi * c:(qi + 1) * c],
+                            kb[:, ki * c:(ki + 1) * c],
+                            vb[:, ki * c:(ki + 1) * c], rel)
+                        o_acc, l_acc = _merge(o_acc, l_acc, o_t, l_t)
+                    outs[qi] = (o_acc, l_acc)
+                kb = jax.lax.ppermute(kb, axis, perm)
+                vb = jax.lax.ppermute(vb, axis, perm)
+                return (*outs[0], *outs[1], kb, vb)
+
+            z = jnp.zeros((b, c, hq, d), jnp.float32)
+            ninf = jnp.full((b, c, hq), -jnp.inf, jnp.float32)
+            out0, _, out1, _, _, _ = jax.lax.fori_loop(
+                0, nn, step, (z, ninf, z, ninf, ks, vs))
+            return jnp.concatenate([out0, out1], axis=1).astype(qs.dtype)
 
         def step(t, carry):
             out, lse, kb, vb = carry
-            src = (r - t) % n          # global owner of the resident shard
-            o_t, l_t = flash_prefill(
-                qs, kb, vb, q_offset=(r - src) * sl, kv_len=jnp.int32(sl),
-                block_k=min(block_k, sl), sm_scale=sm_scale,
-                return_lse=True)
-            out, lse = _merge(out, lse, o_t.astype(jnp.float32), l_t)
+            src = (r - t) % nn         # global owner of the resident shard
+            o_t, l_t = attend(qs, kb, vb, (r - src) * sl)
+            out, lse = _merge(out, lse, o_t, l_t)
             kb = jax.lax.ppermute(kb, axis, perm)
             vb = jax.lax.ppermute(vb, axis, perm)
             return out, lse, kb, vb
 
-        b, _, hq, d = qs.shape
         out0 = jnp.zeros((b, sl, hq, d), jnp.float32)
         lse0 = jnp.full((b, sl, hq), -jnp.inf, jnp.float32)
-        out, _, _, _ = jax.lax.fori_loop(0, n, step, (out0, lse0, ks, vs))
+        out, _, _, _ = jax.lax.fori_loop(0, nn, step, (out0, lse0, ks, vs))
         return out.astype(qs.dtype)
 
     spec = P(None, axis, None, None)
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec, spec),
                    out_specs=spec)
-    return fn(q, k, v)
+    out = fn(q, k, v)
+    if zig:
+        inv = jnp.zeros((s,), jnp.int32).at[perm_idx].set(
+            jnp.arange(s, dtype=jnp.int32))
+        out = out[:, inv]
+    return out

@@ -22,8 +22,9 @@ def _mesh(n):
     return Mesh(np.asarray(devs[:n]).reshape(n), ("seq",))
 
 
+@pytest.mark.parametrize("layout", ["contiguous", "zigzag"])
 @pytest.mark.parametrize("N,S", [(4, 512), (8, 1024)])
-def test_ring_prefill_matches_single_device(N, S):
+def test_ring_prefill_matches_single_device(layout, N, S):
     rng = np.random.default_rng(0)
     B, HQ, HKV, D = 1, 4, 2, 32
     q = jnp.asarray(rng.standard_normal((B, S, HQ, D)), jnp.float32)
@@ -32,12 +33,13 @@ def test_ring_prefill_matches_single_device(N, S):
 
     want = flash_prefill(q, k, v, q_offset=jnp.int32(0),
                          kv_len=jnp.int32(S), block_k=128)
-    got = ring_prefill(q, k, v, _mesh(N), block_k=128)
+    got = ring_prefill(q, k, v, _mesh(N), block_k=128, layout=layout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
 
 
-def test_ring_prefill_batch_and_gqa():
+@pytest.mark.parametrize("layout", ["contiguous", "zigzag"])
+def test_ring_prefill_batch_and_gqa(layout):
     rng = np.random.default_rng(1)
     B, S, HQ, HKV, D = 2, 512, 8, 2, 64
     q = jnp.asarray(rng.standard_normal((B, S, HQ, D)), jnp.float32)
@@ -45,6 +47,6 @@ def test_ring_prefill_batch_and_gqa():
     v = jnp.asarray(rng.standard_normal((B, S, HKV, D)), jnp.float32)
     want = flash_prefill(q, k, v, q_offset=jnp.int32(0),
                          kv_len=jnp.int32(S), block_k=128)
-    got = ring_prefill(q, k, v, _mesh(8), block_k=64)
+    got = ring_prefill(q, k, v, _mesh(8), block_k=64, layout=layout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
