@@ -32,7 +32,6 @@ Two layouts:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
