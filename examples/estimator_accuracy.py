@@ -132,6 +132,11 @@ def main():
     ap.add_argument("--estimators", type=str, default="",
                     help="comma-separated subset of estimator names "
                          "(default: all)")
+    ap.add_argument("--weight-quant", type=str, default="none",
+                    choices=["none", "int8"],
+                    help="int8 = W8A8-quantize the trained weights before "
+                         "scoring (the bench's equal-format deployment "
+                         "config) — names in the CSV get a '_w8' suffix")
     args = ap.parse_args()
 
     import jax
@@ -142,11 +147,24 @@ def main():
     cfg = model_config()
     max_len = max(contexts) + 256
     params = load_params(args.ckpt, cfg, max_len)
+    suffix = ""
+    if args.weight_quant == "int8":
+        # Quantize AFTER loading (the checkpoint stores exact weights);
+        # the forward pass dispatches on QuantWeight leaves, so this is
+        # exactly the bench's W8A8 deployment path (`models/llama.py`).
+        from magicpig_tpu.models.llama import quantize_params
+
+        params = quantize_params(params)
+        suffix = "_w8"
     os.makedirs(args.out, exist_ok=True)
     rows = []
     csv_path = os.path.join(args.out, "summary.csv")
-    with open(csv_path, "w") as f:   # incremental: a crash keeps prior rows
-        f.write("context,estimator,accuracy,avg_sparsity\n")
+    # Append-only: partial re-runs (one context, an estimator subset) must
+    # not clobber previously committed rows; rows are written incrementally
+    # so a crash keeps everything finished so far.
+    if not os.path.exists(csv_path):
+        with open(csv_path, "w") as f:
+            f.write("context,estimator,accuracy,avg_sparsity\n")
 
     for ctx in contexts:
         samples = []
@@ -175,8 +193,8 @@ def main():
             spars = llm.avg_sparsity_since(snap)
             rows.append((ctx, name, acc, spars))
             with open(csv_path, "a") as f:
-                f.write(f"{ctx},{name},{acc:.4f},{spars:.4f}\n")
-            print(f"ctx={ctx} {name}: acc={acc:.3f} "
+                f.write(f"{ctx},{name}{suffix},{acc:.4f},{spars:.4f}\n")
+            print(f"ctx={ctx} {name}{suffix}: acc={acc:.3f} "
                   f"sparsity={spars:.4f} ({time.time() - t0:.0f}s)",
                   flush=True)
             del llm

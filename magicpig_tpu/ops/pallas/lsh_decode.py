@@ -174,7 +174,7 @@ def _imask(b, h, c):
 def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
                          k_norm: jax.Array, mask: jax.Array,
                          K: int, L: int, sm_scale: float | None = None,
-                         block_tokens: int = 4096, interpret: bool = False,
+                         block_tokens: int = 65536, interpret: bool = False,
                          k_scale: jax.Array | None = None,
                          v_scale: jax.Array | None = None,
                          batch_split: bool = False):
@@ -198,11 +198,14 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     fold = max(128 // d, 1)
     gf = g * fold
     blk = min(block_tokens, s)
-    # Cap the double-buffered K/V blocks at ~2 MB of VMEM each (mirrors the
-    # scorer); larger blocks amortize the per-grid-step overheads.
+    # Cap the double-buffered K/V blocks at ~4 MB of VMEM each (same cap the
+    # scorer converged to): at 96K/d=64/int8 that is 3 grid steps per
+    # (request, kv-head) instead of 24 — each step past the first pays the
+    # measured ~3 us small-constant-input stall (BENCHMARKS.md), so big
+    # blocks are where the fused kernel's gap to its stream floor closes.
     lane = 128 if fold > 1 else d
     while (blk > fold * 32
-           and (blk // fold) * lane * k_centered.dtype.itemsize > 2 << 20):
+           and (blk // fold) * lane * k_centered.dtype.itemsize > 4 << 20):
         blk //= 2
     while s % blk:
         blk //= 2
@@ -292,7 +295,7 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
                      k_norm: jax.Array, planes: jax.Array,
                      q_bits: jax.Array, length: jax.Array, K: int, L: int,
                      sm_scale: float | None = None,
-                     block_tokens: int = 4096, interpret: bool = False,
+                     block_tokens: int = 65536, interpret: bool = False,
                      k_scale: jax.Array | None = None,
                      v_scale: jax.Array | None = None,
                      batch_split: bool = False):
