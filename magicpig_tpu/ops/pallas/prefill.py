@@ -1,0 +1,237 @@
+"""Pallas causal prefill attention: whole-prompt flash over the KV prefix.
+
+The XLA `ops.attention.flash_prefill` is an online-softmax formulation, but
+XLA materializes every [sub, block_k] score/probability intermediate in HBM
+(~134 MB per block iteration at 96K) — measured 2.9 s/layer, ~10x the
+compute floor. This kernel keeps the score block in VMEM: per (request,
+kv-head, query-tile) grid step it double-buffers 512-token K/V chunks
+through scratch (the `rescore_attend` DMA pattern), computes the fold-packed
+q-tile dot on the MXU, applies the causal/length/sliding-window mask from
+iotas, and runs the chunk-batched online softmax in registers. HBM traffic
+per layer drops to the K/V stream itself (the causal-triangle chunks are
+skipped, DMA included).
+
+Reference mapping: this is the TPU-native equivalent of the reference's
+chunked FlashInfer prefill (`models/llama.py:263-285`,
+`single_prefill_with_kv_cache`) — same math as `flash_prefill`, which
+remains the oracle (`tests/test_prefill_pallas.py`) and the ring-prefill
+partial (`parallel/ring.py` needs per-shard LSE merging).
+
+Layouts (d <= 128, fold = 128 // d):
+  q2  [B, Hkv, nq, fold*G*Tq, 128]  — query tile i packed fold-major: row
+      f*(G*Tq) + g*Tq + t holds q for (head g, query i*Tq+t) in lanes
+      f*d..(f+1)*d, zeros elsewhere; ONE MXU dot scores every fold slot
+      (same packing as `lsh_decode`/`score`).
+  kf/vf [B, Hkv, S/fold, 128]       — token-folded cache (row R holds
+      tokens R*fold..R*fold+fold-1), the decode kernels' storage layout.
+Score column c of chunk ci, row-half f ↔ token (ci*rows + c)*fold + f.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+_NBUF = 2
+
+
+def _kernel(len_ref, off_ref, q_ref, k_hbm, v_hbm, o_ref,
+            kbuf, vbuf, sems, m_ref, l_ref, acc_ref, *,
+            fold: int, d: int, gtq: int, tq: int, rows: int, nchunks: int,
+            sm_scale: float, window: int | None):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    length = len_ref[b]
+    q_off = off_ref[b]
+
+    # Last useful chunk: the causal bound of this q-tile's final query,
+    # clipped by the valid prefix length.
+    tile_max_q = q_off + i * tq + tq - 1
+    last_tok = jnp.minimum(tile_max_q, length - 1)
+    last_chunk = jnp.maximum(last_tok // (rows * fold), 0)
+    if window is not None:
+        first_tok = jnp.maximum(q_off + i * tq - (window - 1), 0)
+        first_chunk = first_tok // (rows * fold)
+    else:
+        first_chunk = jnp.int32(0)
+
+    m_ref[:] = jnp.full_like(m_ref, _NEG)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def dmas(slot, ci):
+        return [pltpu.make_async_copy(
+                    k_hbm.at[b, h, pl.ds(ci * rows, rows)],
+                    kbuf.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    v_hbm.at[b, h, pl.ds(ci * rows, rows)],
+                    vbuf.at[slot], sems.at[slot, 1])]
+
+    @pl.when(first_chunk <= last_chunk)
+    def _():
+        for op in dmas(first_chunk % _NBUF, first_chunk):
+            op.start()
+
+    q2 = q_ref[0, 0, 0]                                  # [fold*GTq, 128]
+    gf_rows = q2.shape[0]
+
+    def body(ci, _):
+        @pl.when((ci >= first_chunk) & (ci <= last_chunk))
+        def _():
+            slot = ci % _NBUF
+
+            @pl.when(ci + 1 <= last_chunk)
+            def _():
+                for op in dmas((ci + 1) % _NBUF, ci + 1):
+                    op.start()
+
+            for op in dmas(slot, ci):
+                op.wait()
+            k = kbuf[pl.ds(slot, 1)][0]                  # [rows, 128]
+            v = vbuf[pl.ds(slot, 1)][0]
+            raw = jax.lax.dot_general(
+                q2, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [fold*GTq, rows]
+
+            # token(row-half f, col c) = (ci*rows + c)*fold + f
+            col = jax.lax.broadcasted_iota(jnp.int32, (gf_rows, rows), 1)
+            half = jax.lax.broadcasted_iota(jnp.int32, (gf_rows, rows),
+                                            0) // gtq
+            tok = (ci * rows + col) * fold + half
+            # qpos(row) = q_off + i*Tq + (row % Tq)
+            qpos = q_off + i * tq + jax.lax.broadcasted_iota(
+                jnp.int32, (gf_rows, rows), 0) % tq
+            sel = (tok <= qpos) & (tok < length)
+            if window is not None:
+                sel = sel & (qpos - tok < window)
+            s = jnp.where(sel, raw * sm_scale, _NEG)
+
+            # Online update; per-query stats combine the fold row-groups.
+            m_prev = m_ref[:]                            # [GTq, 128]
+            mrow = jnp.max(s, axis=-1, keepdims=True)    # [fold*GTq, 1]
+            mg = mrow[:gtq]
+            for f in range(1, fold):
+                mg = jnp.maximum(mg, mrow[f * gtq:(f + 1) * gtq])
+            m_new = jnp.maximum(m_prev, mg)              # [GTq, 128]
+            alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
+            mf = jnp.concatenate([m_new[:, :1]] * fold, axis=0)
+            p = jnp.exp(s - mf) * sel.astype(jnp.float32)
+            lrow = jnp.sum(p, axis=-1, keepdims=True)    # [fold*GTq, 1]
+            lg = lrow[:gtq]
+            for f in range(1, fold):
+                lg = lg + lrow[f * gtq:(f + 1) * gtq]
+            l_ref[:] = l_ref[:] * alpha + lg
+            pv = jnp.zeros_like(acc_ref)
+            pb = p.astype(v.dtype)
+            for f in range(fold):
+                pv = pv + jax.lax.dot_general(
+                    pb[f * gtq:(f + 1) * gtq], v[:, f * d:(f + 1) * d],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [GTq, d]
+            acc_ref[:] = acc_ref[:] * alpha + pv
+            m_ref[:] = m_new
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+    l = l_ref[:, :1]
+    safe = jnp.where(l > 0, l, 1.0)
+    o_ref[0, 0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+
+
+def _iq(b, h, i, lens, offs):
+    return (b, h, i, 0, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "q_tile",
+                                             "chunk_tokens", "window",
+                                             "interpret"))
+def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                         length: jax.Array,
+                         q_offset: jax.Array | None = None,
+                         sm_scale: float | None = None,
+                         q_tile: int = 512, chunk_tokens: int = 512,
+                         window: int | None = None,
+                         interpret: bool = False) -> jax.Array:
+    """Causal prefill attention of a query span against the KV prefix.
+
+    q: [B, Sq, Hq, d] — queries at absolute positions q_offset..+Sq (the
+    whole padded prompt when q_offset is None/0, one prefill chunk in the
+    interleaved-admission path); k, v: [B, Skv, Hkv, d] cache buffers;
+    length: [B] valid keys (key t >= length is masked; queries past length
+    produce defined-but-unused rows). window: sliding-window size (query t
+    attends (t-window, t]) or None. Returns [B, Sq, Hq, d] in q.dtype.
+    """
+    b, sq, hq, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    fold = max(128 // d, 1)
+    assert d * fold == 128 and skv % fold == 0, (d, skv)
+    tq = min(q_tile, sq)
+    while sq % tq:
+        tq //= 2
+    nq = sq // tq
+    gtq = g * tq
+    ck = min(chunk_tokens, skv)
+    while skv % ck or ck % fold:
+        ck //= 2
+    rows = ck // fold
+    nchunks = skv // ck
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    if q_offset is None:
+        q_offset = jnp.zeros((b,), jnp.int32)
+    # Dtype-preserving: bf16 activations stream as bf16 (the production
+    # engine dtype); f32 models (unit tests, accuracy evals) stay f32 so
+    # the kernel is bit-comparable to the XLA flash_prefill oracle.
+    dt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+
+    # Fold-packed q tiles: [B, Hkv, nq, fold*GTq, 128].
+    qt = q.reshape(b, nq, tq, hkv, g, d).transpose(0, 3, 1, 4, 2, 5)
+    qt = qt.reshape(b, hkv, nq, gtq, d).astype(dt)
+    parts = [jnp.pad(qt, ((0, 0),) * 3 + ((0, 0), (f * d, 128 - (f + 1) * d)))
+             for f in range(fold)]
+    q2 = jnp.concatenate(parts, axis=3)                # [B,Hkv,nq,fGTq,128]
+
+    # Token-folded head-major K/V: [B, Hkv, Skv/fold, 128].
+    kf = k.transpose(0, 2, 1, 3).reshape(b, hkv, skv // fold, 128).astype(dt)
+    vf = v.transpose(0, 2, 1, 3).reshape(b, hkv, skv // fold, 128).astype(dt)
+
+    kernel = functools.partial(
+        _kernel, fold=fold, d=d, gtq=gtq, tq=tq, rows=rows,
+        nchunks=nchunks, sm_scale=scale, window=window)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, fold * gtq, 128), _iq,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, gtq, d), _iq,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_NBUF, rows, 128), dt),
+                pltpu.VMEM((_NBUF, rows, 128), dt),
+                pltpu.SemaphoreType.DMA((_NBUF, 2)),
+                pltpu.VMEM((gtq, 128), jnp.float32),
+                pltpu.VMEM((gtq, 128), jnp.float32),
+                pltpu.VMEM((gtq, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, nq, gtq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(length.astype(jnp.int32), q_offset.astype(jnp.int32), q2, kf, vf)
+
+    # [B, Hkv, nq, G*Tq, d] -> [B, Sq, Hq, d]
+    out = out.reshape(b, hkv, nq, g, tq, d).transpose(0, 2, 4, 1, 3, 5)
+    return out.reshape(b, sq, hq, d).astype(q.dtype)

@@ -35,10 +35,13 @@ from magicpig_tpu.models.llama import (
     unembed,
 )
 from magicpig_tpu.ops.attention import flash_prefill
+from magicpig_tpu.ops.pallas.prefill import flash_prefill_pallas
 from magicpig_tpu.ops.hashing import make_hash_projections
 from magicpig_tpu.ops.sampling import greedy_sample, top_p_sample
 from magicpig_tpu.runtime import state as state_lib
 from magicpig_tpu.runtime.server import (
+    _interp,
+    _use_pallas,
     decode_dense_layer,
     decode_sparse_layer,
     fill_dense_layer,
@@ -104,6 +107,17 @@ class LLM:
 
     # -- pure functions (jitted in __init__) --------------------------------
 
+    def _pallas_prefill(self) -> bool:
+        """Prefill attention through the Pallas flash kernel: single-device
+        engines on TPU (or use_pallas="on" in interpret mode). Sharded
+        engines keep the XLA formulation — GSPMD partitions its einsums
+        across the mesh but cannot partition a pallas_call
+        (parallel/sharded.py wraps only the fill/decode ops in shard_map)."""
+        cfg = self.config
+        return (128 % cfg.head_dim == 0
+                and getattr(self, "mesh", None) is None
+                and _use_pallas(self.lsh, cfg.head_dim))
+
     def _prefill_fn(self, params: LlamaParams, state, tokens, true_len, req,
                     *, p_pad: int):
         cfg, lsh = self.config, self.lsh
@@ -121,6 +135,15 @@ class LLM:
         n_sub = p_pad // sub
 
         def attn_scan(q, k, v):  # q [1,P,Hq,d]; k/v [1,P,Hkv,d]
+            if self._pallas_prefill():
+                # Whole-prompt Pallas flash kernel: the XLA scan below
+                # round-trips ~134 MB of score/probability intermediates
+                # through HBM per KV block (measured 2.9 s/layer at 96K,
+                # ~10x the MXU floor); the kernel keeps them in VMEM.
+                o = flash_prefill_pallas(
+                    q, k, v, jnp.full((1,), true_len, jnp.int32),
+                    window=cfg.sliding_window, interpret=_interp())
+                return o.reshape(1, p_pad, -1)               # [1, P, Hq*d]
             qs = q.reshape(1, n_sub, sub, q.shape[2], q.shape[3])
             qs = qs.transpose(1, 0, 2, 3, 4)
             offs = jnp.arange(n_sub, dtype=jnp.int32) * sub
@@ -323,6 +346,13 @@ class LLM:
         n_sub = c // sub
 
         def attn_scan(q, sk, sv):  # q [1,c,Hq,d]; sk/sv [S,Hkv,d]
+            if self._pallas_prefill():
+                o = flash_prefill_pallas(
+                    q, sk[None], sv[None],
+                    jnp.full((1,), off + c, jnp.int32),
+                    q_offset=jnp.full((1,), off, jnp.int32),
+                    window=cfg.sliding_window, interpret=_interp())
+                return o.reshape(1, c, -1)                   # [1, c, Hq*d]
             hq, d = q.shape[2], q.shape[3]
             qs = q.reshape(1, n_sub, sub, hq, d).transpose(1, 0, 2, 3, 4)
             offs = off + jnp.arange(n_sub, dtype=jnp.int32) * sub
