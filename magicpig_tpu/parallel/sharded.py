@@ -85,3 +85,31 @@ def decode_sparse_layer_sharded(mesh: Mesh, state: DecodeState, si: int,
     return shard_map(body, mesh=mesh,
                      in_specs=(sspecs, _HEADS, _HEADS, _HEADS, P()),
                      out_specs=(_HEADS, sspecs, P()))(state, q, k_new, v_new, projections)
+
+
+def flash_prefill_sharded(mesh: Mesh, q: jax.Array, k: jax.Array,
+                          v: jax.Array, length: jax.Array,
+                          q_offset: jax.Array | None = None,
+                          window: int | None = None,
+                          interpret: bool = False) -> jax.Array:
+    """`ops.pallas.prefill.flash_prefill_pallas` with each model-axis shard
+    running the kernel on its local kv-head group (GQA q heads are laid out
+    kv-major, so an Hq split at model_size boundaries keeps each kv head
+    with its G query heads — the reference's per-rank head split,
+    `llama_dist.py:47-77`). Prefill is per-request, so the batch dim is
+    replicated across "data" rather than sharded (same as the GSPMD fill
+    path); attention is embarrassingly parallel over heads — no collective.
+    """
+    from magicpig_tpu.ops.pallas.prefill import flash_prefill_pallas
+
+    heads = P(None, None, "model", None)   # [B, S, H, d]
+    if q_offset is None:
+        q_offset = jnp.zeros((q.shape[0],), jnp.int32)
+
+    def body(q, k, v, length, q_offset):
+        return flash_prefill_pallas(q, k, v, length, q_offset=q_offset,
+                                    window=window, interpret=interpret)
+
+    return shard_map(body, mesh=mesh,
+                     in_specs=(heads, heads, heads, P(), P()),
+                     out_specs=heads)(q, k, v, length, q_offset)

@@ -108,15 +108,32 @@ class LLM:
     # -- pure functions (jitted in __init__) --------------------------------
 
     def _pallas_prefill(self) -> bool:
-        """Prefill attention through the Pallas flash kernel: single-device
-        engines on TPU (or use_pallas="on" in interpret mode). Sharded
-        engines keep the XLA formulation — GSPMD partitions its einsums
-        across the mesh but cannot partition a pallas_call
-        (parallel/sharded.py wraps only the fill/decode ops in shard_map)."""
+        """Prefill attention through the Pallas flash kernel: on TPU (or
+        use_pallas="on" in interpret mode). Sharded engines route through
+        `parallel.sharded.flash_prefill_sharded` — GSPMD cannot partition a
+        pallas_call, so the kernel runs per model-axis shard on its local
+        kv-head group (requires Hkv % model_size == 0, which
+        `shard_engine` already enforces for the cache shards)."""
         cfg = self.config
-        return (128 % cfg.head_dim == 0
-                and getattr(self, "mesh", None) is None
-                and _use_pallas(self.lsh, cfg.head_dim))
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None and cfg.num_key_value_heads % mesh.shape["model"]:
+            return False
+        return 128 % cfg.head_dim == 0 and _use_pallas(self.lsh, cfg.head_dim)
+
+    def _prefill_attn(self, q, k, v, length, q_offset=None):
+        """Dispatch one prefill-attention call to the Pallas kernel —
+        directly on a single device, through shard_map under a mesh."""
+        cfg = self.config
+        mesh = getattr(self, "mesh", None)
+        if mesh is None:
+            return flash_prefill_pallas(
+                q, k, v, length, q_offset=q_offset,
+                window=cfg.sliding_window, interpret=_interp())
+        from magicpig_tpu.parallel.sharded import flash_prefill_sharded
+
+        return flash_prefill_sharded(
+            mesh, q, k, v, length, q_offset=q_offset,
+            window=cfg.sliding_window, interpret=_interp())
 
     def _prefill_fn(self, params: LlamaParams, state, tokens, true_len, req,
                     *, p_pad: int):
@@ -140,9 +157,8 @@ class LLM:
                 # round-trips ~134 MB of score/probability intermediates
                 # through HBM per KV block (measured 2.9 s/layer at 96K,
                 # ~10x the MXU floor); the kernel keeps them in VMEM.
-                o = flash_prefill_pallas(
-                    q, k, v, jnp.full((1,), true_len, jnp.int32),
-                    window=cfg.sliding_window, interpret=_interp())
+                o = self._prefill_attn(
+                    q, k, v, jnp.full((1,), true_len, jnp.int32))
                 return o.reshape(1, p_pad, -1)               # [1, P, Hq*d]
             qs = q.reshape(1, n_sub, sub, q.shape[2], q.shape[3])
             qs = qs.transpose(1, 0, 2, 3, 4)
@@ -347,11 +363,10 @@ class LLM:
 
         def attn_scan(q, sk, sv):  # q [1,c,Hq,d]; sk/sv [S,Hkv,d]
             if self._pallas_prefill():
-                o = flash_prefill_pallas(
+                o = self._prefill_attn(
                     q, sk[None], sv[None],
                     jnp.full((1,), off + c, jnp.int32),
-                    q_offset=jnp.full((1,), off, jnp.int32),
-                    window=cfg.sliding_window, interpret=_interp())
+                    q_offset=jnp.full((1,), off, jnp.int32))
                 return o.reshape(1, c, -1)                   # [1, c, Hq*d]
             hq, d = q.shape[2], q.shape[3]
             qs = q.reshape(1, n_sub, sub, hq, d).transpose(1, 0, 2, 3, 4)
