@@ -157,8 +157,15 @@ def analytic_batch(model, mode, K, L, M, hbm_budget, max_b,
         cfg = dataclasses.replace(cfg, weight_quant=weight_quant)
     lsh = make_lsh(mode, K, L)
     pshapes = jax.eval_shape(lambda: init_params(cfg, jax.random.key(0), M))
-    pbytes = sum(np.prod(l.shape) * l.dtype.itemsize
-                 for l in jax.tree.leaves(pshapes))
+
+    def nbytes(l):
+        # int4 packs two elements per byte on TPU; ml_dtypes reports
+        # itemsize 1 for s4, so halve it explicitly.
+        if "int4" in str(l.dtype):
+            return np.prod(l.shape) * 0.5
+        return np.prod(l.shape) * l.dtype.itemsize
+
+    pbytes = sum(nbytes(l) for l in jax.tree.leaves(pshapes))
     sshapes = jax.eval_shape(lambda: state_lib.init_state(cfg, lsh, 1, M))
     per_req = sum(np.prod(l.shape) * l.dtype.itemsize
                   for l in jax.tree.leaves(sshapes))
@@ -197,10 +204,12 @@ def main():
     p.add_argument("--baseline-tps", type=float, default=0.0,
                    help="inject a previously-measured full-attention tok/s")
     p.add_argument("--weight-quant", type=str, default="int8",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int4"],
                    help="int8 (default) = W8A8 weights for EVERY mode, "
                         "baseline included — the equal-format comparison "
                         "(flagship 305.6 vs dense 174.0 tok/s at 96K); "
+                        "int4 = W4A8 grouped weights (halves the weight "
+                        "stream again; the 8B@96K single-chip config); "
                         "none = bf16 weights everywhere")
     p.add_argument("--attempt-timeout", type=int, default=1000)
     p.add_argument("--quick", action="store_true")

@@ -133,10 +133,10 @@ def main():
                     help="comma-separated subset of estimator names "
                          "(default: all)")
     ap.add_argument("--weight-quant", type=str, default="none",
-                    choices=["none", "int8"],
-                    help="int8 = W8A8-quantize the trained weights before "
-                         "scoring (the bench's equal-format deployment "
-                         "config) — names in the CSV get a '_w8' suffix")
+                    choices=["none", "int8", "int4"],
+                    help="int8/int4 = quantize the trained weights before "
+                         "scoring (the bench's deployment configs) — names "
+                         "in the CSV get a '_w8'/'_w4' suffix")
     args = ap.parse_args()
 
     import jax
@@ -148,14 +148,15 @@ def main():
     max_len = max(contexts) + 256
     params = load_params(args.ckpt, cfg, max_len)
     suffix = ""
-    if args.weight_quant == "int8":
+    if args.weight_quant in ("int8", "int4"):
         # Quantize AFTER loading (the checkpoint stores exact weights);
-        # the forward pass dispatches on QuantWeight leaves, so this is
-        # exactly the bench's W8A8 deployment path (`models/llama.py`).
+        # the forward pass dispatches on Quant(4)Weight leaves, so this is
+        # exactly the bench's quantized deployment path (`models/llama.py`).
         from magicpig_tpu.models.llama import quantize_params
 
-        params = quantize_params(params)
-        suffix = "_w8"
+        bits = 4 if args.weight_quant == "int4" else 8
+        params = quantize_params(params, bits=bits)
+        suffix = f"_w{bits}"
     os.makedirs(args.out, exist_ok=True)
     rows = []
     csv_path = os.path.join(args.out, "summary.csv")

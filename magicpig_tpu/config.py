@@ -59,7 +59,9 @@ class ModelConfig:
     # activation quant on the native s8 MXU path (models/llama.py
     # QuantWeight) — halves weight HBM (decode at small batch is
     # weight-bandwidth-bound) and is what fits 8B-class models on a 16 GB
-    # chip at 96K context.
+    # chip at 96K context. "int4" = W4A8 grouped-int4 weights (128-input
+    # groups, Quant4Weight): halves the weight stream again and fits
+    # 8B @ 96K with the block_topk4 state on one chip.
     weight_quant: str = "none"
 
     @property

@@ -42,9 +42,71 @@ def quantize_weight(w: jax.Array) -> QuantWeight:
                        scale=scale)
 
 
+W4_GROUP = 128   # input-group size for int4 scales == MXU contraction depth
+
+
+@flax.struct.dataclass
+class Quant4Weight:
+    """int4 weight with per-(128-input-group, output-channel) scales (W4A8).
+
+    Per-channel-only int4 loses too much precision; 128-input groups are
+    the standard remedy AND exactly one MXU contraction depth, so the
+    decode path runs one batched s8 x s8 dot per group with the group
+    scale applied to the [g, M, out] partials — no dequantized weight ever
+    exists in HBM. Weight stream per step halves again vs int8 (1.2 ->
+    0.6 GB for a 1B model), and 8B-class weights drop to ~4.4 GB — which
+    is what puts Llama-3.1-8B @ 96K inside one 16 GB chip with the
+    block_topk4 estimator state (see BENCHMARKS.md capacity table).
+    """
+
+    q: jax.Array       # int4 [..., in, out], values in [-7, 7]
+    scale: jax.Array   # f32 [..., in//128, out]
+
+
+def quantize_weight4(w: jax.Array) -> Quant4Weight:
+    """Symmetric int4 quantization of [..., in, out] with group-128 scales."""
+    wf = w.astype(jnp.float32)
+    *lead, kin, out = wf.shape
+    assert kin % W4_GROUP == 0, (kin, W4_GROUP)
+    g = kin // W4_GROUP
+    wg = wf.reshape(*lead, g, W4_GROUP, out)
+    scale = jnp.max(jnp.abs(wg), axis=-2) / 7.0              # [..., g, out]
+    q = jnp.round(wg / jnp.maximum(scale[..., None, :], 1e-12))
+    q = jnp.clip(q, -7, 7).reshape(*lead, kin, out)
+    return Quant4Weight(q=q.astype(jnp.int4), scale=scale)
+
+
+def _linear4(x: jax.Array, w: Quant4Weight) -> jax.Array:
+    kin = x.shape[-1]
+    g, out = w.scale.shape
+    m = x.size // kin
+    if m >= 512:
+        # Prefill-scale batches are compute-bound: one dequantized-weight
+        # pass in the activation dtype (the [kin, out] transient is a
+        # single weight block in VMEM-sized tiles, never persisted).
+        wde = (w.q.astype(jnp.float32).reshape(g, W4_GROUP, out)
+               * w.scale[:, None, :]).reshape(kin, out).astype(x.dtype)
+        return x @ wde
+    # Decode-scale: per-token int8 activations, one batched s8 x s8 MXU
+    # dot over the 128-deep groups, group scales applied to the partials.
+    xf = x.astype(jnp.float32).reshape(m, kin)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    xq = jnp.round(xf / jnp.maximum(sx, 1e-12))
+    xq = jnp.clip(xq, -127, 127).astype(jnp.int8)
+    xg = xq.reshape(m, g, W4_GROUP).transpose(1, 0, 2)       # [g, M, 128]
+    wq = w.q.astype(jnp.int8).reshape(g, W4_GROUP, out)      # [g, 128, out]
+    res = jax.lax.dot_general(xg, wq, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    outv = (res.astype(jnp.float32) * w.scale[:, None, :]).sum(0) * sx
+    return outv.astype(x.dtype).reshape(*x.shape[:-1], out)
+
+
 def linear(x: jax.Array, w) -> jax.Array:
-    """x @ w for a raw array or a QuantWeight (dynamic per-token activation
-    quantization -> native int8 dot -> rescale)."""
+    """x @ w for a raw array, a QuantWeight (dynamic per-token activation
+    quantization -> native int8 dot -> rescale), or a Quant4Weight
+    (grouped-int4 weights, W4A8)."""
+    if isinstance(w, Quant4Weight):
+        return _linear4(x, w)
     if not isinstance(w, QuantWeight):
         return x @ w
     xf = x.astype(jnp.float32)
@@ -124,29 +186,34 @@ def init_params(config: ModelConfig, key: jax.Array, max_len: int) -> LlamaParam
         cos=cos,
         sin=sin,
     )
-    if config.weight_quant == "int8":
-        params = quantize_params(params)
+    if config.weight_quant in ("int8", "int4"):
+        params = quantize_params(params,
+                                 bits=4 if config.weight_quant == "int4" else 8)
     return params
 
 
-def quantize_params(params: LlamaParams) -> LlamaParams:
-    """int8-quantize every matmul weight (embedding stays exact — it is a
-    gather; a tied lm_head is quantized as its own copy, trading a little
-    storage for halving the biggest per-step weight read)."""
+def quantize_params(params: LlamaParams, bits: int = 8) -> LlamaParams:
+    """Quantize every matmul weight to int8 or grouped-int4 (embedding
+    stays exact — it is a gather; a tied lm_head is quantized as its own
+    copy, trading a little storage for halving the biggest per-step
+    weight read). Stacked [N, in, out] leaves quantize per layer: the
+    int4 scales are grouped along `in`, which the stack preserves."""
+    qw = {8: quantize_weight, 4: quantize_weight4}[bits]
+
     layers = params.layers
     layers = LayerParams(
-        wq=quantize_weight(layers.wq),
-        wk=quantize_weight(layers.wk),
-        wv=quantize_weight(layers.wv),
-        wo=quantize_weight(layers.wo),
-        w_gate=quantize_weight(layers.w_gate),
-        w_up=quantize_weight(layers.w_up),
-        w_down=quantize_weight(layers.w_down),
+        wq=qw(layers.wq),
+        wk=qw(layers.wk),
+        wv=qw(layers.wv),
+        wo=qw(layers.wo),
+        w_gate=qw(layers.w_gate),
+        w_up=qw(layers.w_up),
+        w_down=qw(layers.w_down),
         ln_attn=layers.ln_attn,
         ln_mlp=layers.ln_mlp,
     )
     return params.replace(layers=layers,
-                          lm_head=quantize_weight(params.lm_head))
+                          lm_head=qw(params.lm_head))
 
 
 def qkv_proj(lp: LayerParams, config: ModelConfig, hidden: jax.Array,

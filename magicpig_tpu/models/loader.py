@@ -72,10 +72,11 @@ def params_from_state_dict(config: ModelConfig, sd: dict, max_len: int,
         cos=cos,
         sin=sin,
     )
-    if config.weight_quant == "int8":
+    if config.weight_quant in ("int8", "int4"):
         from magicpig_tpu.models.llama import quantize_params
 
-        params = quantize_params(params)
+        params = quantize_params(
+            params, bits=4 if config.weight_quant == "int4" else 8)
     return params
 
 

@@ -18,14 +18,19 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from magicpig_tpu.models.llama import LayerParams, LlamaParams, QuantWeight
+from magicpig_tpu.models.llama import (LayerParams, LlamaParams, Quant4Weight, QuantWeight)
 from magicpig_tpu.runtime.state import DecodeState
 
 
 def _wspec(w, spec: P):
-    """Spec for a (possibly int8-quantized) matmul weight: QuantWeight
-    scales live on the OUTPUT channel axis, so their spec is the weight
-    spec with the input axis (-2) dropped."""
+    """Spec for a (possibly quantized) matmul weight: QuantWeight scales
+    live on the OUTPUT channel axis, so their spec is the weight spec with
+    the input axis (-2) dropped; Quant4Weight scales are [..., in//128,
+    out] — the group axis shards exactly like the input axis it tiles
+    (per-shard `in` is a multiple of 128 for every supported split), so
+    the spec is the weight spec unchanged."""
+    if isinstance(w, Quant4Weight):
+        return Quant4Weight(q=spec, scale=spec)
     if isinstance(w, QuantWeight):
         parts = tuple(spec)
         return QuantWeight(q=spec, scale=P(*(parts[:-2] + parts[-1:])))

@@ -1,0 +1,161 @@
+"""W4A8 grouped-int4 weights (`models/llama.py::Quant4Weight`).
+
+The reference ships bf16 weights only; int4 weights are a TPU capacity
+lever on top of the W8A8 path (see BENCHMARKS.md capacity table — they are
+what fits Llama-3.1-8B @ 96K with the block_topk4 state on one 16 GB
+chip). Group-128 scales bound the quantization error per 128-input slab;
+the decode path must match the mathematically-expected grouped-dot result
+and the prefill (dequantized) path must agree with it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magicpig_tpu.config import LSHConfig, preset
+from magicpig_tpu.models.llama import (
+    W4_GROUP,
+    Quant4Weight,
+    linear,
+    quantize_weight4,
+)
+
+
+def test_quantize4_roundtrip_bound():
+    """Elementwise |w - dequant(w)| <= scale/2 within each group."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 192)) * 0.3, jnp.float32)
+    qw = quantize_weight4(w)
+    assert str(qw.q.dtype) == "int4" and qw.scale.shape == (2, 192)
+    q = np.asarray(qw.q, np.float32).reshape(2, W4_GROUP, 192)
+    wde = (q * np.asarray(qw.scale)[:, None, :]).reshape(256, 192)
+    err = np.abs(wde - np.asarray(w))
+    bound = np.repeat(np.asarray(qw.scale), W4_GROUP, axis=0) * 0.5 + 1e-6
+    assert (err <= bound).all(), err.max()
+
+
+def test_quantize4_stacked_layer_slice():
+    """Stacked [N, in, out] weights slice per layer with aligned scales."""
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((3, 128, 64)), jnp.float32)
+    qw = quantize_weight4(w)
+    assert qw.q.shape == (3, 128, 64) and qw.scale.shape == (3, 1, 64)
+    per = quantize_weight4(w[1])
+    np.testing.assert_array_equal(np.asarray(qw.q[1], np.int8),
+                                  np.asarray(per.q, np.int8))
+    np.testing.assert_allclose(np.asarray(qw.scale[1]),
+                               np.asarray(per.scale))
+
+
+def test_linear4_decode_close_to_exact():
+    """Small-M (grouped s8 dot) path: combined W4A8 noise stays small
+    relative to the exact f32 product on standard-normal data."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 192)) / 16.0, jnp.float32)
+    got = np.asarray(linear(x, quantize_weight4(w)))
+    want = np.asarray(x @ w)
+    denom = np.abs(want).max()
+    # Analytic W4 noise at kin=256 on standard normals: per-weight err std
+    # ~ scale/(2*sqrt(3)) accumulates to ~0.12 output RMS -> corr ~0.993
+    # and worst element ~0.14 of max. Assert just outside that floor.
+    assert np.abs(got - want).max() / denom < 0.2
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.985, corr
+
+
+def test_linear4_prefill_path_matches_decode_path():
+    """The m>=512 dequantized-weight pass and the grouped-dot pass agree
+    up to the activation-quantization noise (identical weight error)."""
+    rng = np.random.default_rng(3)
+    w4 = quantize_weight4(
+        jnp.asarray(rng.standard_normal((128, 96)) / 12.0, jnp.float32))
+    xs = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32)
+    small = np.asarray(linear(xs, w4))                      # grouped dot
+    xl = jnp.tile(xs, (200, 1))                             # m = 800
+    large = np.asarray(linear(xl, w4))[:4]                  # dequant pass
+    denom = np.abs(large).max()
+    assert np.abs(small - large).max() / denom < 0.03
+
+
+def test_engine_w4_needle_retrieval():
+    """End-to-end function preservation: the shipped trained checkpoint
+    (data/needle_ckpt.npz) quantized to W4 still resolves the 1-needle
+    retrieval protocol through prefill + 2 decode steps. (A random-init
+    tiny net is the wrong check here — with no trained structure the
+    per-matmul int4 noise compounds to ~0.84 logits correlation while
+    W8 sits at ~0.99 on the same net; trained weights are what the
+    deployment format must preserve.)"""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from train_needle import (
+        FILLER_HI,
+        FILLER_LO,
+        KEY_HI,
+        KEY_LO,
+        MARK,
+        QUERY,
+        VAL_HI,
+        VAL_LO,
+        BOS,
+        load_params,
+        model_config,
+    )
+
+    from magicpig_tpu.models.llama import quantize_params
+    from magicpig_tpu.runtime.engine import LLM
+
+    cfg = model_config()
+    ckpt = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "needle_ckpt.npz")
+    params = quantize_params(load_params(ckpt, cfg, 1280), bits=4)
+    lsh = LSHConfig(K=0, L=0, num_sink_tokens=4, num_local_tokens=64,
+                    generation_buffer=128)
+    llm = LLM(cfg, batch_size=1, max_length=1280, chunk_size=1024,
+              params=params, lsh=lsh, seed=0)
+
+    rng = np.random.default_rng(9)
+    correct = 0
+    n = 6
+    for _ in range(n):
+        ctx = 1024
+        toks = rng.integers(FILLER_LO, FILLER_HI, size=ctx)
+        toks[0] = BOS
+        key = int(rng.integers(KEY_LO, KEY_HI))
+        val = int(rng.integers(VAL_LO, VAL_HI))
+        pos = int(rng.integers(8, ctx - 300))
+        toks[pos:pos + 3] = (MARK, key, val)
+        llm.release_slot(0)
+        llm.prefill(toks.astype(np.int32), request_id=0)
+        llm.inference(np.asarray([QUERY], np.int32))
+        logits = llm.inference(np.asarray([key], np.int32))
+        correct += int(np.asarray(logits)[0].argmax()) == val
+    assert correct >= n - 1, f"W4 retrieval {correct}/{n}"
+
+
+def test_w4_param_pspecs_consistent():
+    """TP pspecs for Quant4Weight leaves: scale group axis shards like the
+    input axis it tiles; device_put on a 2x4 mesh must succeed."""
+    import dataclasses
+
+    from magicpig_tpu.models.llama import init_params
+    from magicpig_tpu.parallel.mesh import make_mesh, param_pspecs
+
+    cfg = dataclasses.replace(
+        preset("llama-tiny"), hidden_size=512, intermediate_size=512,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=64,
+        weight_quant="int4")
+    params = init_params(cfg, jax.random.key(0), 256)
+    mesh = make_mesh(2, 4)
+    specs = param_pspecs(params)
+    from jax.sharding import NamedSharding
+
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+    lw = sharded.layers
+    assert str(lw.wq.q.dtype) == "int4"
+    # Row-parallel w_down: in=512 -> 4 groups over 4 model shards.
+    assert lw.w_down.scale.shape == (cfg.num_hidden_layers, 4, 512)
