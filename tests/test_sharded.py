@@ -110,3 +110,25 @@ def test_sharded_full_attention_matches_single_device():
     sh_logits, _ = _run(llm, prompts, mesh)
 
     np.testing.assert_allclose(sh_logits, ref_logits, rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_staged_prefill_matches_oneshot():
+    """Interleaved-admission path under the mesh: `start_prefill` chunks
+    (staged K/V fill + the q_offset Pallas prefill through shard_map) must
+    produce the same last-token logits as the sharded one-shot prefill."""
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(1, CFG.vocab_size, size=150).astype(np.int32)
+    lsh = _lsh_cfg("block_topk")
+
+    mesh = make_mesh(2, 4)
+    llm = LLM(CFG, batch_size=B, max_length=MAX_LEN, chunk_size=64,
+              lsh=lsh, seed=5)
+    shard_engine(llm, mesh)
+    with mesh:
+        want = np.asarray(llm.prefill(prompt, request_id=0))
+        llm.release_slot(0)
+        h = llm.start_prefill(prompt, request_id=0)
+        while not h.done:
+            h.step()
+        got = np.asarray(h.logits)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
