@@ -5,11 +5,11 @@ XLA materializes every [sub, block_k] score/probability intermediate in HBM
 (~134 MB per block iteration at 96K) — measured 2.9 s/layer, ~10x the
 compute floor. This kernel keeps the score block in VMEM: per (request,
 kv-head, query-tile) grid step it double-buffers 512-token K/V chunks
-through scratch (the `rescore_attend` DMA pattern), computes the fold-packed
-q-tile dot on the MXU, applies the causal/length/sliding-window mask from
-iotas, and runs the chunk-batched online softmax in registers. HBM traffic
-per layer drops to the K/V stream itself (the causal-triangle chunks are
-skipped, DMA included).
+through scratch (the `rescore_attend` DMA pattern), scores the q tile
+against each fold-half of the token-folded K on the MXU, applies the
+causal/length/sliding-window mask from iotas, and runs the chunk-batched
+online softmax in registers. HBM traffic per layer drops to the K/V + q
+streams themselves (the causal-triangle chunks are skipped, DMA included).
 
 Reference mapping: this is the TPU-native equivalent of the reference's
 chunked FlashInfer prefill (`models/llama.py:263-285`,
@@ -18,13 +18,15 @@ remains the oracle (`tests/test_prefill_pallas.py`) and the ring-prefill
 partial (`parallel/ring.py` needs per-shard LSE merging).
 
 Layouts (d <= 128, fold = 128 // d):
-  q2  [B, Hkv, nq, fold*G*Tq, 128]  — query tile i packed fold-major: row
-      f*(G*Tq) + g*Tq + t holds q for (head g, query i*Tq+t) in lanes
-      f*d..(f+1)*d, zeros elsewhere; ONE MXU dot scores every fold slot
-      (same packing as `lsh_decode`/`score`).
-  kf/vf [B, Hkv, S/fold, 128]       — token-folded cache (row R holds
-      tokens R*fold..R*fold+fold-1), the decode kernels' storage layout.
-Score column c of chunk ci, row-half f ↔ token (ci*rows + c)*fold + f.
+  qt  [B, Hkv, nq, G*Tq, d]    — head-major query tiles: row g*Tq + t holds
+      q for (head g, query i*Tq+t). Each fold-half f scores with one
+      [G*Tq, d] x [rows, d] dot against k[:, f*d:(f+1)*d] (the lane-slice
+      pattern the pv loop uses for V) — unlike the decode kernels' packed
+      q2, the tile here is large enough that per-fold dots stay
+      MXU-efficient and the fold^2 q duplication in HBM is avoided.
+  kf/vf [B, Hkv, S/fold, 128]  — token-folded cache (row R holds tokens
+      R*fold..R*fold+fold-1), the decode kernels' storage layout.
+Score row-block f, column c of chunk ci ↔ token (ci*rows + c)*fold + f.
 """
 
 from __future__ import annotations
@@ -36,8 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG = -1e30
-_NBUF = 2
+from magicpig_tpu.ops.pallas.block_attend import _NBUF, _NEG
 
 
 def _kernel(len_ref, off_ref, q_ref, k_hbm, v_hbm, o_ref,
@@ -78,8 +79,8 @@ def _kernel(len_ref, off_ref, q_ref, k_hbm, v_hbm, o_ref,
         for op in dmas(first_chunk % _NBUF, first_chunk):
             op.start()
 
-    q2 = q_ref[0, 0, 0]                                  # [fold*GTq, 128]
-    gf_rows = q2.shape[0]
+    q = q_ref[0, 0, 0]                                   # [GTq, d]
+    gf_rows = fold * gtq
 
     def body(ci, _):
         @pl.when((ci >= first_chunk) & (ci <= last_chunk))
@@ -95,9 +96,15 @@ def _kernel(len_ref, off_ref, q_ref, k_hbm, v_hbm, o_ref,
                 op.wait()
             k = kbuf[pl.ds(slot, 1)][0]                  # [rows, 128]
             v = vbuf[pl.ds(slot, 1)][0]
-            raw = jax.lax.dot_general(
-                q2, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [fold*GTq, rows]
+            # One [GTq, d] x [rows, d] dot per fold-half (row half f holds
+            # tokens with token % fold == f), lane-slicing K exactly like
+            # the pv loop slices V — half the MACs and fold^2 less q HBM
+            # than a fold-packed q2 dot at this tile size.
+            raw = jnp.concatenate(
+                [jax.lax.dot_general(
+                    q, k[:, f * d:(f + 1) * d], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                 for f in range(fold)], axis=0)          # [fold*GTq, rows]
 
             # token(row-half f, col c) = (ci*rows + c)*fold + f
             col = jax.lax.broadcasted_iota(jnp.int32, (gf_rows, rows), 1)
@@ -191,12 +198,10 @@ def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     # the kernel is bit-comparable to the XLA flash_prefill oracle.
     dt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
 
-    # Fold-packed q tiles: [B, Hkv, nq, fold*GTq, 128].
+    # Head-major q tiles: [B, Hkv, nq, GTq, d] — no fold packing; the
+    # kernel scores each fold-half with a lane-sliced K dot instead.
     qt = q.reshape(b, nq, tq, hkv, g, d).transpose(0, 3, 1, 4, 2, 5)
     qt = qt.reshape(b, hkv, nq, gtq, d).astype(dt)
-    parts = [jnp.pad(qt, ((0, 0),) * 3 + ((0, 0), (f * d, 128 - (f + 1) * d)))
-             for f in range(fold)]
-    q2 = jnp.concatenate(parts, axis=3)                # [B,Hkv,nq,fGTq,128]
 
     # Token-folded head-major K/V: [B, Hkv, Skv/fold, 128].
     kf = k.transpose(0, 2, 1, 3).reshape(b, hkv, skv // fold, 128).astype(dt)
@@ -211,7 +216,7 @@ def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
             num_scalar_prefetch=2,
             grid=(b, hkv, nq),
             in_specs=[
-                pl.BlockSpec((1, 1, 1, fold * gtq, 128), _iq,
+                pl.BlockSpec((1, 1, 1, gtq, d), _iq,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -230,7 +235,7 @@ def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, hkv, nq, gtq, d), q.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(length.astype(jnp.int32), q_offset.astype(jnp.int32), q2, kf, vf)
+    )(length.astype(jnp.int32), q_offset.astype(jnp.int32), qt, kf, vf)
 
     # [B, Hkv, nq, G*Tq, d] -> [B, Sq, Hq, d]
     out = out.reshape(b, hkv, nq, g, tq, d).transpose(0, 2, 4, 1, 3, 5)

@@ -118,7 +118,15 @@ class LLM:
         mesh = getattr(self, "mesh", None)
         if mesh is not None and cfg.num_key_value_heads % mesh.shape["model"]:
             return False
-        return 128 % cfg.head_dim == 0 and _use_pallas(self.lsh, cfg.head_dim)
+        if 128 % cfg.head_dim:
+            return False
+        # The kernel's token-folded K/V requires every KV buffer length it
+        # sees to divide by fold: p_pad (a chunk_size multiple) in the
+        # one-shot path, max_length (the staging buffer) in the staged one.
+        fold = 128 // cfg.head_dim
+        if self.chunk_size % fold or self.max_length % fold:
+            return False
+        return _use_pallas(self.lsh, cfg.head_dim)
 
     def _prefill_attn(self, q, k, v, length, q_offset=None):
         """Dispatch one prefill-attention call to the Pallas kernel —
