@@ -26,6 +26,10 @@ def main():
                    choices=["meta-llama2", "meta-llama3", "None"])
     p.add_argument("--data", type=str, default=None,
                    help="text file to use as the prompt")
+    p.add_argument("--weight-quant", type=str, default="none",
+                   choices=["none", "int8", "int4"],
+                   help="W8A8 / W4A8 weight quantization (bench formats; "
+                        "int4 is what fits 8B @ 96K on one chip)")
     args = p.parse_args()
 
     import os
@@ -48,12 +52,20 @@ def main():
     if os.path.isdir(args.model):
         from magicpig_tpu.models.loader import load_checkpoint
 
-        cfg, params = load_checkpoint(args.model, args.M)
+        cfg, params = load_checkpoint(args.model, args.M,
+                                      weight_quant=args.weight_quant)
         llm = LLM(cfg, max_length=args.M, lsh=LSHConfig(K=args.K, L=args.L),
                   params=params)
     else:
         assert args.model in PRESETS, f"unknown preset {args.model}"
-        llm = LLM(args.model, max_length=args.M,
+        import dataclasses
+
+        from magicpig_tpu.config import preset
+
+        cfg = preset(args.model)
+        if args.weight_quant != "none":
+            cfg = dataclasses.replace(cfg, weight_quant=args.weight_quant)
+        llm = LLM(cfg, max_length=args.M,
                   lsh=LSHConfig(K=args.K, L=args.L))
 
     ids = ids[: args.M - args.G - 1]

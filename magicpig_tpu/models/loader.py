@@ -80,12 +80,17 @@ def params_from_state_dict(config: ModelConfig, sd: dict, max_len: int,
     return params
 
 
-def load_checkpoint(path: str, max_len: int, dtype=None):
+def load_checkpoint(path: str, max_len: int, dtype=None,
+                    weight_quant: str = "none"):
     """Load (config, params) from a HF checkpoint directory."""
+    import dataclasses
+
     from safetensors import safe_open
 
     config = ModelConfig.from_hf_config(
         os.path.join(path, "config.json"), name=os.path.basename(path))
+    if weight_quant != "none":
+        config = dataclasses.replace(config, weight_quant=weight_quant)
     sd = {}
     files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if not files:
