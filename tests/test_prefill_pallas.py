@@ -78,6 +78,15 @@ def test_pallas_prefill_chunk_offset():
     err = np.abs(np.asarray(got) - np.asarray(want)).max()
     assert err < 1e-4, err
 
+    # Sliding window on the offset-chunk path (staged Mistral prefill).
+    got_w = flash_prefill_pallas(q, k, v, lens, q_offset=offs, q_tile=128,
+                                 chunk_tokens=128, window=300,
+                                 interpret=True)
+    want_w = flash_prefill(q, k, v, jnp.int32(OFF), jnp.int32(OFF + SQ),
+                           block_k=256, window=300)
+    err_w = np.abs(np.asarray(got_w) - np.asarray(want_w)).max()
+    assert err_w < 1e-4, err_w
+
 
 def test_engine_prefill_pallas_matches_xla():
     """Engine-level: prefill logits with the Pallas kernel (use_pallas="on",
