@@ -41,10 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 from magicpig_tpu.ops.pallas.block_attend import _NBUF, _NEG
 
 
-def _kernel(len_ref, off_ref, q_ref, k_hbm, v_hbm, o_ref,
-            kbuf, vbuf, sems, m_ref, l_ref, acc_ref, *,
+def _kernel(len_ref, off_ref, q_ref, k_hbm, v_hbm, o_ref, *rest,
             fold: int, d: int, gtq: int, tq: int, rows: int, nchunks: int,
-            sm_scale: float, window: int | None):
+            sm_scale: float, window: int | None, with_lse: bool):
+    if with_lse:
+        lse_ref, kbuf, vbuf, sems, m_ref, l_ref, acc_ref = rest
+    else:
+        lse_ref = None
+        kbuf, vbuf, sems, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     h = pl.program_id(1)
     i = pl.program_id(2)
@@ -150,6 +154,11 @@ def _kernel(len_ref, off_ref, q_ref, k_hbm, v_hbm, o_ref,
     l = l_ref[:, :1]
     safe = jnp.where(l > 0, l, 1.0)
     o_ref[0, 0, 0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+    if with_lse:
+        # Per-query log-sum-exp (natural base, ring/decode merge math):
+        # [GTq] transposed to lanes, broadcast over the 8-sublane tile.
+        lse = jnp.where(l > 0, m_ref[:, :1] + jnp.log(safe), -jnp.inf)
+        lse_ref[0, 0, 0] = jnp.broadcast_to(lse.reshape(1, gtq), (8, gtq))
 
 
 def _iq(b, h, i, lens, offs):
@@ -158,14 +167,15 @@ def _iq(b, h, i, lens, offs):
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "q_tile",
                                              "chunk_tokens", "window",
-                                             "interpret"))
+                                             "interpret", "return_lse"))
 def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                          length: jax.Array,
                          q_offset: jax.Array | None = None,
                          sm_scale: float | None = None,
                          q_tile: int = 512, chunk_tokens: int = 512,
                          window: int | None = None,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         return_lse: bool = False):
     """Causal prefill attention of a query span against the KV prefix.
 
     q: [B, Sq, Hq, d] — queries at absolute positions q_offset..+Sq (the
@@ -173,7 +183,11 @@ def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     interleaved-admission path); k, v: [B, Skv, Hkv, d] cache buffers;
     length: [B] valid keys (key t >= length is masked; queries past length
     produce defined-but-unused rows). window: sliding-window size (query t
-    attends (t-window, t]) or None. Returns [B, Sq, Hq, d] in q.dtype.
+    attends (t-window, t]) or None. Returns [B, Sq, Hq, d] in q.dtype,
+    plus natural-base LSE [B, Sq, Hq] f32 (-inf where nothing attended)
+    when return_lse — the ring-prefill partial contract
+    (`parallel/ring.py::_merge`). return_lse requires G*Tq % 128 == 0
+    (the LSE tile stores queries on the lane axis).
     """
     b, sq, hq, d = q.shape
     skv, hkv = k.shape[1], k.shape[2]
@@ -207,10 +221,22 @@ def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     kf = k.transpose(0, 2, 1, 3).reshape(b, hkv, skv // fold, 128).astype(dt)
     vf = v.transpose(0, 2, 1, 3).reshape(b, hkv, skv // fold, 128).astype(dt)
 
+    if return_lse:
+        assert gtq % 128 == 0, gtq
+
     kernel = functools.partial(
         _kernel, fold=fold, d=d, gtq=gtq, tq=tq, rows=rows,
-        nchunks=nchunks, sm_scale=scale, window=window)
-    out = pl.pallas_call(
+        nchunks=nchunks, sm_scale=scale, window=window,
+        with_lse=return_lse)
+    out_specs = [pl.BlockSpec((1, 1, 1, gtq, d), _iq,
+                              memory_space=pltpu.VMEM)]
+    out_shapes = [jax.ShapeDtypeStruct((b, hkv, nq, gtq, d), q.dtype)]
+    if return_lse:
+        out_specs.append(pl.BlockSpec((1, 1, 1, 8, gtq), _iq,
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, hkv, nq, 8, gtq), jnp.float32))
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -221,8 +247,7 @@ def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, 1, gtq, d), _iq,
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_specs if return_lse else out_specs[0],
             scratch_shapes=[
                 pltpu.VMEM((_NBUF, rows, 128), dt),
                 pltpu.VMEM((_NBUF, rows, 128), dt),
@@ -232,11 +257,18 @@ def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
                 pltpu.VMEM((gtq, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, nq, gtq, d), q.dtype),
+        out_shape=out_shapes if return_lse else out_shapes[0],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(length.astype(jnp.int32), q_offset.astype(jnp.int32), qt, kf, vf)
 
+    out = res[0] if return_lse else res
     # [B, Hkv, nq, G*Tq, d] -> [B, Sq, Hq, d]
     out = out.reshape(b, hkv, nq, g, tq, d).transpose(0, 2, 4, 1, 3, 5)
-    return out.reshape(b, sq, hq, d).astype(q.dtype)
+    out = out.reshape(b, sq, hq, d).astype(q.dtype)
+    if not return_lse:
+        return out
+    # [B, Hkv, nq, 8, G*Tq] (row-broadcast) -> [B, Sq, Hq] f32
+    lse = res[1][:, :, :, 0, :].reshape(b, hkv, nq, g, tq)
+    lse = lse.transpose(0, 2, 4, 1, 3).reshape(b, sq, hq)
+    return out, lse

@@ -68,16 +68,31 @@ def _zigzag_perm(s: int, n: int) -> jnp.ndarray:
 
 def ring_prefill(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
                  axis: str = "seq", sm_scale: float | None = None,
-                 block_k: int = 1024, layout: str = "zigzag") -> jax.Array:
+                 block_k: int = 1024, layout: str = "zigzag",
+                 use_pallas: bool = False,
+                 interpret: bool = False) -> jax.Array:
     """Causal self-attention with the sequence sharded over `axis`.
 
     q: [B, S, Hq, d]; k, v: [B, S, Hkv, d] in GLOBAL token order — S must
     divide by 2x the axis size; RoPE (global positions) is the caller's
     job, as in the engine's prefill. Returns [B, S, Hq, d] in q.dtype,
-    sharded like q. `layout`: see module docstring.
+    sharded like q. `layout`: see module docstring. `use_pallas`: each
+    per-step partial runs the whole-prompt Pallas kernel with LSE export
+    (`ops/pallas/prefill.py`) instead of the XLA flash scan — shape-gated
+    below, falls back silently when the kernel's tiling can't apply.
     """
     n = mesh.shape[axis]
     s = q.shape[1]
+    if use_pallas:
+        d_ = q.shape[3]
+        fold = max(128 // d_, 1)
+        chunk = s // (2 * n) if layout == "zigzag" else s // n
+        tq = min(512, chunk)
+        while chunk % tq:
+            tq //= 2
+        gtq = (q.shape[2] // k.shape[2]) * tq
+        use_pallas = (d_ * fold == 128 and chunk % fold == 0
+                      and gtq % 128 == 0)
     assert layout in ("zigzag", "contiguous"), layout
     zig = layout == "zigzag"
     if zig:
@@ -102,6 +117,17 @@ def ring_prefill(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
             cq = qc.shape[1]
 
             def live(_):
+                if use_pallas:
+                    from magicpig_tpu.ops.pallas.prefill import (
+                        flash_prefill_pallas,
+                    )
+
+                    return flash_prefill_pallas(
+                        qc, kc, vc,
+                        jnp.full((b,), kc.shape[1], jnp.int32),
+                        q_offset=jnp.full((b,), rel, jnp.int32),
+                        sm_scale=sm_scale, interpret=interpret,
+                        return_lse=True)
                 return flash_prefill(
                     qc, kc, vc, q_offset=rel, kv_len=jnp.int32(kc.shape[1]),
                     block_k=min(block_k, kc.shape[1]), sm_scale=sm_scale,

@@ -50,3 +50,23 @@ def test_ring_prefill_batch_and_gqa(layout):
     got = ring_prefill(q, k, v, _mesh(8), block_k=64, layout=layout)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("layout", ["contiguous", "zigzag"])
+def test_ring_prefill_pallas_partials(layout):
+    """Ring with the Pallas-kernel partials (LSE export through
+    `flash_prefill_pallas(return_lse=True)`, interpret mode) must match
+    the XLA-partial ring. D=64 / GQA=4: gtq = 4*tq divides 128 at the
+    zigzag chunk (512/(2*4) = 64 tokens -> gtq 256) and the contiguous
+    shard (128 tokens -> gtq 512)."""
+    rng = np.random.default_rng(2)
+    B, S, HQ, HKV, D = 1, 512, 8, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, S, HQ, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, HKV, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, HKV, D)), jnp.float32)
+    mesh = _mesh(4)
+    want = ring_prefill(q, k, v, mesh, block_k=64, layout=layout)
+    got = ring_prefill(q, k, v, mesh, block_k=64, layout=layout,
+                       use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
