@@ -5,9 +5,9 @@ K/V — going through the REAL fill functions (centering, norms, SimHash
 planes, quantization), so decode-time behavior is identical to a real
 prefill. Decode cost does not depend on cache values, so this yields honest
 decode benchmarks without paying a full-context prefill (the reference's
-bench prefills real text first, `examples/bench.py:43-44`; on the bench TPU
-a 96K prefill is prohibitively slow, the decode loop is the metric either
-way).
+bench prefills real text first, `examples/bench.py:43-44`; real prefill
+has its own bench row — `bench.py --modes prefill` — the decode loop is
+this metric either way).
 
 Each (layer, request) fill is its own donated jit call so peak HBM stays at
 state + one layer's temporaries — one fused fill graph OOMs at 96K x B>2.
