@@ -40,6 +40,7 @@ def _oracle(q, k, v, length, window=None):
         (1, 2, 4, 1024, 64, 700, 200),       # sliding window (Mistral)
         (1, 2, 2, 512, 16, 512, None),       # fold=8 (tiny test models)
         (1, 1, 4, 512, 128, 400, None),      # fold=1
+        (1, 2, 1, 512, 64, 500, None),       # GQA=1 (llama-2 style)
     ])
 def test_pallas_prefill_matches_oracle(B, HKV, G, P, D, length, window):
     rng = np.random.default_rng(0)
