@@ -114,7 +114,14 @@ class LLM:
         pallas_call, so the kernel runs per model-axis shard on its local
         kv-head group (requires Hkv % model_size == 0, which
         `shard_engine` already enforces for the cache shards)."""
+        import os
+
         cfg = self.config
+        if os.environ.get("MAGICPIG_NO_PALLAS_PREFILL"):
+            # Surgical kill-switch: fall back to the XLA prefill scan
+            # without disabling the (independently verified) decode
+            # kernels, e.g. if a toolchain rev mis-lowers only this kernel.
+            return False
         mesh = getattr(self, "mesh", None)
         if mesh is not None and cfg.num_key_value_heads % mesh.shape["model"]:
             return False
