@@ -134,3 +134,25 @@ def test_pallas_prefill_bf16_path():
                  - np.asarray(want[:, :400])).max()
     assert got.dtype == jnp.bfloat16
     assert err < 0.1, err
+
+
+def test_pallas_prefill_lse_matches_xla():
+    """return_lse: the kernel's natural-base LSE must match the XLA
+    flash_prefill's (the ring-prefill merge contract), including -inf on
+    fully-masked (padded-query) rows."""
+    rng = np.random.default_rng(4)
+    B, P, HKV, G, D = 1, 512, 2, 2, 64          # gtq = 2*128 -> lane-ok
+    q = jnp.asarray(rng.standard_normal((B, P, HKV * G, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, P, HKV, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, P, HKV, D)), jnp.float32)
+    lens = jnp.asarray([400], jnp.int32)
+    got_o, got_l = flash_prefill_pallas(q, k, v, lens, q_tile=128,
+                                        chunk_tokens=128, interpret=True,
+                                        return_lse=True)
+    want_o, want_l = flash_prefill(q, k, v, jnp.int32(0), jnp.int32(400),
+                                   block_k=128, return_lse=True)
+    gl = np.asarray(got_l)[:, :400]
+    wl = np.asarray(want_l)[:, :400]
+    assert np.abs(gl - wl).max() < 1e-4
+    assert np.abs(np.asarray(got_o)[:, :400]
+                  - np.asarray(want_o)[:, :400]).max() < 1e-4
