@@ -313,6 +313,15 @@ def main():
                      if "Error" in ln or "error" in ln][-2:]
             print(f"# {mode}: B={B} failed ({'; '.join(lines)[:300]}) "
                   f"[full log: {diag}]", file=sys.stderr)
+            if ("MosaicError" in (out.stderr or "")
+                    or "Mosaic failed to compile" in (out.stderr or "")):
+                # A kernel-lowering failure is batch-independent: retrying
+                # smaller batches burns ~6 min each for the same error.
+                # Give up the mode; the sparse-mode fallback ladder (and
+                # block_topk_store) still runs.
+                print(f"# {mode}: Mosaic compile failure is deterministic; "
+                      f"abandoning mode", file=sys.stderr)
+                break
             B -= 1
             retried = False
         if mode not in results:

@@ -70,7 +70,13 @@ def online_update(s_all, vslot, vsslot, m_ref, l_ref, acc_ref, *,
         hlf, f = i // fold, i % fold
         pf = p[:, i * g:(i + 1) * g, :]             # [ch, G, rows]
         if quant:
-            pf = pf * vsslot[:, f:f + 1, hlf * rows:(hlf + 1) * rows]
+            # Explicit concat instead of a broadcast-multiply: Mosaic
+            # rejects vector.broadcast along sublanes when the source
+            # slice sits at a non-zero lane offset (hlf=1 in packed
+            # mode slices the scale at lane 128 -> "Invalid input
+            # layout" on hardware; interpret mode can't catch it).
+            vs = vsslot[:, f:f + 1, hlf * rows:(hlf + 1) * rows]
+            pf = pf * jnp.concatenate([vs] * g, axis=1)
         vf = vslot[:, hlf * rows:(hlf + 1) * rows, f * d:(f + 1) * d]
         out = jax.lax.dot_general(
             pf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
