@@ -40,12 +40,20 @@ def main():
     p.add_argument("--estimator", type=str, default=None,
                    choices=["lsh", "quest", "topk", "oracle_sampling",
                             "block_topk"])
-    p.add_argument("--decode-mode", type=str, default="sampled",
+    p.add_argument("--decode-mode", type=str, default="masked",
                    choices=["sampled", "masked"])
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (JAX_PLATFORMS env is ignored "
+                        "under axon; only jax.config works)")
     p.add_argument("--max-length", type=int, default=None)
     p.add_argument("--out", type=str, default="ruler_out")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from magicpig_tpu.config import LSHConfig, preset
     from magicpig_tpu.evals.ruler.predict import run_suite

@@ -84,7 +84,6 @@ def _kernel(len_ref, off_ref, q_ref, k_hbm, v_hbm, o_ref, *rest,
             op.start()
 
     q = q_ref[0, 0, 0]                                   # [GTq, d]
-    gf_rows = fold * gtq
 
     def body(ci, _):
         @pl.when((ci >= first_chunk) & (ci <= last_chunk))
@@ -102,51 +101,40 @@ def _kernel(len_ref, off_ref, q_ref, k_hbm, v_hbm, o_ref, *rest,
             v = vbuf[pl.ds(slot, 1)][0]
             # One [GTq, d] x [rows, d] dot per fold-half (row half f holds
             # tokens with token % fold == f), lane-slicing K exactly like
-            # the pv loop slices V — half the MACs and fold^2 less q HBM
-            # than a fold-packed q2 dot at this tile size.
-            raw = jnp.concatenate(
-                [jax.lax.dot_general(
-                    q, k[:, f * d:(f + 1) * d], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                 for f in range(fold)], axis=0)          # [fold*GTq, rows]
-
-            # token(row-half f, col c) = (ci*rows + c)*fold + f
-            col = jax.lax.broadcasted_iota(jnp.int32, (gf_rows, rows), 1)
-            half = jax.lax.broadcasted_iota(jnp.int32, (gf_rows, rows),
-                                            0) // gtq
-            tok = (ci * rows + col) * fold + half
-            # qpos(row) = q_off + i*Tq + (row % Tq)
+            # the pv dot slices V — half the MACs and fold^2 less q HBM
+            # than a fold-packed q2 dot at this tile size. Each fold-half
+            # runs its OWN online-softmax update (same math as treating it
+            # as a separate chunk): peak Mosaic stack temporaries are
+            # [GTq, rows], not [fold*GTq, rows] — the concatenated-folds
+            # formulation overflowed the 16 MB scoped-vmem stack at the
+            # production shape (G=4, Tq=512, rows=256, measured on v5e).
+            col = jax.lax.broadcasted_iota(jnp.int32, (gtq, rows), 1)
             qpos = q_off + i * tq + jax.lax.broadcasted_iota(
-                jnp.int32, (gf_rows, rows), 0) % tq
-            sel = (tok <= qpos) & (tok < length)
-            if window is not None:
-                sel = sel & (qpos - tok < window)
-            s = jnp.where(sel, raw * sm_scale, _NEG)
-
-            # Online update; per-query stats combine the fold row-groups.
-            m_prev = m_ref[:]                            # [GTq, 128]
-            mrow = jnp.max(s, axis=-1, keepdims=True)    # [fold*GTq, 1]
-            mg = mrow[:gtq]
-            for f in range(1, fold):
-                mg = jnp.maximum(mg, mrow[f * gtq:(f + 1) * gtq])
-            m_new = jnp.maximum(m_prev, mg)              # [GTq, 128]
-            alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
-            mf = jnp.concatenate([m_new[:, :1]] * fold, axis=0)
-            p = jnp.exp(s - mf) * sel.astype(jnp.float32)
-            lrow = jnp.sum(p, axis=-1, keepdims=True)    # [fold*GTq, 1]
-            lg = lrow[:gtq]
-            for f in range(1, fold):
-                lg = lg + lrow[f * gtq:(f + 1) * gtq]
-            l_ref[:] = l_ref[:] * alpha + lg
-            pv = jnp.zeros_like(acc_ref)
-            pb = p.astype(v.dtype)
+                jnp.int32, (gtq, rows), 0) % tq
             for f in range(fold):
-                pv = pv + jax.lax.dot_general(
-                    pb[f * gtq:(f + 1) * gtq], v[:, f * d:(f + 1) * d],
+                raw = jax.lax.dot_general(
+                    q, k[:, f * d:(f + 1) * d], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [GTq, rows]
+                # token(col c) = (ci*rows + c)*fold + f
+                tok = (ci * rows + col) * fold + f
+                sel = (tok <= qpos) & (tok < length)
+                if window is not None:
+                    sel = sel & (qpos - tok < window)
+                s = jnp.where(sel, raw * sm_scale, _NEG)
+
+                m_prev = m_ref[:]                        # [GTq, 128]
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
+                p = jnp.exp(s - m_new[:, :1]) * sel.astype(jnp.float32)
+                l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1,
+                                                      keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v[:, f * d:(f + 1) * d],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # [GTq, d]
-            acc_ref[:] = acc_ref[:] * alpha + pv
-            m_ref[:] = m_new
+                acc_ref[:] = acc_ref[:] * alpha + pv
+                m_ref[:] = m_new
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -197,11 +185,33 @@ def flash_prefill_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     tq = min(q_tile, sq)
     while sq % tq:
         tq //= 2
-    nq = sq // tq
-    gtq = g * tq
     ck = min(chunk_tokens, skv)
     while skv % ck or ck % fold:
         ck //= 2
+
+    # Mosaic allocates kernel temporaries on a 16 MB scoped-vmem stack.
+    # Estimate the step's peak: fixed buffers (q/out tiles, double-buffered
+    # K/V, m/l stats, acc) + ~4 live [GTq, rows] f32 temporaries in the
+    # online update (s, p, iotas). Shrink the K/V chunk first (re-streams
+    # nothing, only adds grid steps), then the q tile (adds K/V re-reads),
+    # until the estimate fits a 13 MB budget (3 MB headroom).
+    esize = 2 if q.dtype == jnp.bfloat16 else 4
+    _BUDGET = 13 * 2 ** 20
+
+    def stack_est(tq_, rows_):
+        gtq_ = g * tq_
+        fixed = (gtq_ * d * (esize + q.dtype.itemsize)    # q + out tiles
+                 + 2 * 2 * rows_ * 128 * esize            # K/V double-buffer
+                 + 2 * gtq_ * 128 * 4                     # m, l stats
+                 + gtq_ * d * 4)                          # acc
+        return fixed + 4 * gtq_ * rows_ * 4
+
+    while stack_est(tq, ck // fold) > _BUDGET and ck // fold > 8:
+        ck //= 2
+    while stack_est(tq, ck // fold) > _BUDGET and tq > 128:
+        tq //= 2
+    nq = sq // tq
+    gtq = g * tq
     rows = ck // fold
     nchunks = skv // ck
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)

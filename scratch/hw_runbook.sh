@@ -7,6 +7,7 @@
 # then the driver-shaped bench (all modes), then the extra rows
 # (prefill, W4, 3B/8B capacity points, lsh B=2).
 set -o pipefail
+export PYTHONPATH=/root/repo:${PYTHONPATH}
 cd /root/repo || exit 1
 mkdir -p results/hw_r2c
 R=results/hw_r2c
