@@ -10,7 +10,11 @@ largest batch that fits HBM at 96K context, and we report aggregate
 tokens/s/chip.
 
 Modes measured:
-  * full       — exact full attention, bf16 KV (the baseline)
+  * full       — exact full attention, bf16 KV (the reference-definition
+                 baseline; `vs_baseline` is computed against this)
+  * full_int8  — exact full attention, int8 dense KV at its own max batch
+                 (the strongest dense config this repo supports;
+                 `vs_strongest` is computed against this)
   * lsh        — SimHash K10/L150 sampled attention (reference-exact mode)
   * block_topk — TPU-native fast mode: exact-score block-top-k over an int8
                  offload cache (scores every key on the MXU from an int8
@@ -37,6 +41,13 @@ def make_lsh(mode, K, L):
 
     if mode == "full":
         return LSHConfig(K=0, L=0)
+    if mode == "full_int8":
+        # Strongest-baseline row: exact full attention with int8 dense KV at
+        # its own max batch. The reference's baseline definition keeps the
+        # KV exact (README.md:27-35), but this repo supports int8 dense KV
+        # under K=0, so the headline also reports vs_strongest against this
+        # config — the honest upper bound a dense user could reach here.
+        return LSHConfig(K=0, L=0, dense_quant="int8")
     if mode == "lsh":
         # int8 offload halves the K/V stream the fused kernel reads and the
         # per-request state (planes dominate either way), raising max batch.
@@ -93,13 +104,6 @@ def worker(args):
     t0 = time.perf_counter()
     cfg = preset(args.model)
     wq = args.weight_quant
-    if args.worker == "lsh":
-        # lsh keeps bf16 weights: the batched fused-lsh graph is the one
-        # that crashed the remote compile helper (now worked around by the
-        # per-request kernel split, ops/pallas/lsh_decode.py), and bf16 is
-        # the configuration with a measured history. The driver's per-batch
-        # subprocess backoff still lands B=1 if a bigger batch fails.
-        wq = "none"
     if wq != "none":
         cfg = dataclasses.replace(cfg, weight_quant=wq)
     if args.worker == "prefill":
@@ -118,8 +122,8 @@ def worker(args):
         t1 = time.perf_counter()
         jax.block_until_ready(llm.prefill(ids))
         dt = time.perf_counter() - t1
-        print("WORKER:" + json.dumps({"tps": args.P / dt, "sparsity": 0.0}),
-              flush=True)
+        print("WORKER:" + json.dumps({"tps": args.P / dt, "sparsity": 0.0,
+                                      "weight_quant": wq}), flush=True)
         return
     lsh = make_lsh(args.worker, args.K, args.L)
     llm = LLM(cfg, batch_size=args.B, max_length=args.M, lsh=lsh, seed=0,
@@ -139,6 +143,7 @@ def worker(args):
     print("WORKER:" + json.dumps({
         "tps": args.B * args.G / dt,
         "sparsity": float(llm.avg_sparsity),
+        "weight_quant": wq,
     }), flush=True)
 
 
@@ -190,10 +195,10 @@ def main():
                    help="fixed batch for ALL modes (0 = per-mode max batch)")
     p.add_argument("--mode", type=str, default="block_topk4",
                    choices=["block_topk", "block_topk4", "block_topk_store",
-                            "lsh", "full", "prefill"],
+                            "lsh", "full", "full_int8", "prefill"],
                    help="flagship mode for the headline JSON")
     p.add_argument("--modes", type=str,
-                   default="full,block_topk4,block_topk,lsh",
+                   default="full,full_int8,block_topk4,block_topk,lsh",
                    help="comma list of modes to measure")
     p.add_argument("--hbm-gb", type=float, default=13.5)
     p.add_argument("--chunk", type=int, default=8192,
@@ -257,18 +262,37 @@ def main():
 
     results = {}
 
-    def measure(mode):
+    # Env-poisoning signatures (infra flakes, NOT model failures): round 2
+    # lost the lsh B=2 row to a TPU_WORKER_HOSTNAMES claim flake and the
+    # backoff silently shrank the batch. These retry at the SAME batch.
+    INFRA_SIGS = ("TPU_WORKER_HOSTNAMES", "unexpected worker hostname",
+                  "Failed to claim", "failed to claim")
+
+    def worker_env():
+        """Scrubbed env for worker subprocesses: drop TPU pod-orchestration
+        vars whose values are visibly poisoned (the round-2 flake injected a
+        WARNING string into TPU_WORKER_HOSTNAMES)."""
+        env = dict(os.environ)
+        for var in ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID"):
+            val = env.get(var, "")
+            if val and (" " in val or "WARNING" in val):
+                env.pop(var, None)
+        return env
+
+    def measure(mode, weight_quant=None):
+        wq = args.weight_quant if weight_quant is None else weight_quant
         if mode == "prefill" or args.B > 0:
             B = max(args.B, 1)
         else:
             B, pbytes, per_req, pad = analytic_batch(
                 args.model, mode, args.K, args.L, args.M,
-                args.hbm_gb * 1e9, args.max_batch,
-                weight_quant=args.weight_quant)
+                args.hbm_gb * 1e9, args.max_batch, weight_quant=wq)
             print(f"# {mode}: params {pbytes/1e9:.2f} GB, state/req "
                   f"{per_req/1e9:.2f} GB (pad x{pad}) -> B={B}",
                   file=sys.stderr)
         retried = False
+        infra_retries = 0
+        mosaic_strikes = 0
         while B >= 1:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--worker", mode, "--B", str(B)]
@@ -276,11 +300,11 @@ def main():
                               ("--M", args.M), ("--G", args.G),
                               ("--K", args.K), ("--L", args.L),
                               ("--chunk", args.chunk),
-                              ("--weight-quant", args.weight_quant)):
+                              ("--weight-quant", wq)):
                 cmd += [flag, str(val)]
             try:
                 out = subprocess.run(
-                    cmd, capture_output=True, text=True,
+                    cmd, capture_output=True, text=True, env=worker_env(),
                     timeout=args.attempt_timeout)
             except subprocess.TimeoutExpired:
                 # The persistent compile cache keeps every executable the
@@ -302,26 +326,45 @@ def main():
                          if ln.startswith("WORKER:")), None)
             if line:
                 r = json.loads(line[len("WORKER:"):])
-                results[mode] = (r["tps"], B, r["sparsity"])
+                results[mode] = (r["tps"], B, r["sparsity"],
+                                 r.get("weight_quant", wq))
                 print(f"# {mode}: B={B} -> {r['tps']:.3f} tok/s/chip "
-                      f"(sparsity {r['sparsity']:.4f})", file=sys.stderr)
+                      f"(sparsity {r['sparsity']:.4f}, "
+                      f"W={r.get('weight_quant', wq)})", file=sys.stderr)
                 break
+            stderr = out.stderr or ""
             diag = f"/tmp/bench_worker_{mode}_B{B}.log"
             with open(diag, "w") as f:
-                f.write(out.stderr or "")
-            lines = [ln for ln in (out.stderr or "").splitlines()
+                f.write(stderr)
+            lines = [ln for ln in stderr.splitlines()
                      if "Error" in ln or "error" in ln][-2:]
             print(f"# {mode}: B={B} failed ({'; '.join(lines)[:300]}) "
                   f"[full log: {diag}]", file=sys.stderr)
-            if ("MosaicError" in (out.stderr or "")
-                    or "Mosaic failed to compile" in (out.stderr or "")):
-                # A kernel-lowering failure is batch-independent: retrying
-                # smaller batches burns ~6 min each for the same error.
-                # Give up the mode; the sparse-mode fallback ladder (and
-                # block_topk_store) still runs.
-                print(f"# {mode}: Mosaic compile failure is deterministic; "
-                      f"abandoning mode", file=sys.stderr)
+            if any(sig in stderr for sig in INFRA_SIGS):
+                # Environment/claim flake — nothing about (mode, B) failed.
+                # Retry at the SAME batch instead of shrinking it.
+                infra_retries += 1
+                if infra_retries <= 2:
+                    print(f"# {mode}: infra flake (claim/env); retrying "
+                          f"B={B} ({infra_retries}/2)", file=sys.stderr)
+                    time.sleep(20 * infra_retries)
+                    continue
+                print(f"# {mode}: persistent infra failure; giving up mode",
+                      file=sys.stderr)
                 break
+            if ("MosaicError" in stderr
+                    or "Mosaic failed to compile" in stderr):
+                # Kernel-lowering failures are usually batch-independent,
+                # but some VMEM/resource errors scale with B: allow ONE
+                # smaller-B attempt before abandoning the mode (the
+                # sparse-mode fallback ladder still runs after that).
+                mosaic_strikes += 1
+                if mosaic_strikes >= 2:
+                    print(f"# {mode}: repeated Mosaic compile failure; "
+                          f"abandoning mode", file=sys.stderr)
+                    break
+                print(f"# {mode}: Mosaic compile failure; one smaller-B "
+                      f"attempt before abandoning", file=sys.stderr)
             B -= 1
             retried = False
         if mode not in results:
@@ -329,7 +372,14 @@ def main():
 
     for mode in modes:
         measure(mode)
-    sparse = [m for m in modes if m not in ("full", "prefill")]
+    if "lsh" in modes and "lsh" not in results and args.weight_quant != "none":
+        # lsh's measured history is bf16 weights; if the quantized-weight
+        # run failed at every batch, record the bf16 row (self-described by
+        # its weight_quant field) rather than no lsh row at all.
+        print("# lsh: retrying with bf16 weights (measured-history config)",
+              file=sys.stderr)
+        measure("lsh", weight_quant="none")
+    sparse = [m for m in modes if m not in ("full", "full_int8", "prefill")]
     if sparse and not any(m in results for m in sparse):
         # Every rescore-pipeline mode failed (e.g. a Mosaic lowering
         # regression on this round's toolchain): fall back to the
@@ -341,13 +391,13 @@ def main():
 
     flag = results.get(args.mode)
     head_mode = args.mode
-    if args.mode not in ("full", "prefill"):
+    if args.mode not in ("full", "full_int8", "prefill"):
         # Headline = the FASTEST measured sparse mode (honestly labeled in
         # the metric name). --mode is the preferred candidate, but a mode
         # that regressed on this round's toolchain must not drag the
         # recorded number below what another measured config achieves.
         cands = [(m, r) for m, r in results.items()
-                 if m not in ("full", "prefill")]
+                 if m not in ("full", "full_int8", "prefill")]
         if cands:
             best_mode, best = max(cands, key=lambda kv: kv[1][0])
             if flag is None:
@@ -364,13 +414,24 @@ def main():
         print(json.dumps({"metric": "decode_throughput", "value": 0,
                           "unit": "tokens/s/chip", "vs_baseline": 0}))
         return
-    print(json.dumps({
+    out = {
         "metric": (f"decode_throughput_{args.model}_ctx{args.P}_"
                    f"{head_mode}_maxbatch"),
         "value": round(flag[0], 3),
         "unit": "tokens/s/chip",
         "vs_baseline": round(flag[0] / base_tps, 3) if base_tps else 0,
-    }))
+    }
+    strongest = results.get("full_int8", (0,))[0]
+    if strongest:
+        # Ratio against the strongest dense config this repo supports
+        # (full attention + int8 dense KV at its own max batch) — stricter
+        # than the reference-definition baseline above.
+        out["vs_strongest"] = round(flag[0] / strongest, 3)
+    # Per-mode rows, self-describing (tps, batch, sparsity, weight format).
+    out["rows"] = {m: {"tps": round(r[0], 3), "B": r[1],
+                       "sparsity": round(r[2], 4), "weight_quant": r[3]}
+                   for m, r in sorted(results.items())}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

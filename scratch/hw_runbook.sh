@@ -50,7 +50,9 @@ run 7200 bench_w4 python bench.py --weight-quant int4 --modes full,block_topk4
 run 10800 bench_3b python bench.py --model llama-3.2-3b --weight-quant int4 --modes block_topk4 --baseline-tps 1
 run 14400 bench_8b python bench.py --model llama-3.1-8b --weight-quant int4 --modes block_topk4 --baseline-tps 1
 
-# 6. lsh at its re-opened analytic batch (B=2, bf16 weights).
-run 7200 bench_lsh_b2 python bench.py --modes lsh --mode lsh --B 2 --weight-quant none --baseline-tps 156.1
+# 6. lsh at its re-opened analytic batch (B=2), W8 like every other mode
+#    (unified weight format; the driver falls back to bf16 only if W8
+#    fails at every batch — the row self-describes via weight_quant).
+run 7200 bench_lsh_b2 python bench.py --modes lsh --mode lsh --B 2 --baseline-tps 156.1
 
 echo "RUNBOOK DONE" | tee -a $R/runbook.log

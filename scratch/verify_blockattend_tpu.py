@@ -1,10 +1,13 @@
-"""Hardware compile+parity check for block_attend / rescore_attend after
-the packed-mode V-scale broadcast fix (Mosaic rejected the sublane
-broadcast from a lane-offset slice; see block_attend.online_update).
+"""Hardware compile+parity check for block_attend after the packed-mode
+V-scale broadcast fix (Mosaic rejected the sublane broadcast from a
+lane-offset slice; see block_attend.online_update).
 
 Runs the packed (pk=2) quantized config — the exact shape class that
 failed to lower on 2026-08-18 — plus the unpacked int8 config, and
-compares against the XLA reference path in fp32.
+compares against the XLA reference path in fp32. rescore_attend's
+packed+quant lowering is exercised on hardware by
+scratch/verify_pack4_tpu.py (server-level block_topk decode with the
+default "rescore" pipeline), not here.
 """
 
 import numpy as np
