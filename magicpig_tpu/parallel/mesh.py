@@ -129,19 +129,27 @@ def _put(tree, spec_tree, mesh: Mesh):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, spec_tree)
 
 
-def shard_engine(llm, mesh: Mesh):
+def shard_engine(llm, mesh: Mesh, seq_axis: str | None = None):
     """Shard an existing LLM engine's params and state over `mesh`.
 
     The engine's jitted functions pick up shardings from their inputs
     (GSPMD propagation); donated state keeps its sharding across steps.
+
+    `seq_axis`: name of a mesh axis to shard PREFILL over the sequence
+    (ring attention, `parallel/ring.py`) — prefill is per-request, so the
+    `data` axis (idle during a fill) is the natural choice. Decode
+    shardings are unaffected.
     """
     assert llm.config.num_key_value_heads % mesh.shape["model"] == 0, (
         "kv heads must divide the model axis")
     assert llm.batch_size % mesh.shape["data"] == 0, (
         "batch must divide the data axis")
+    if seq_axis is not None:
+        assert seq_axis in mesh.shape, (seq_axis, mesh.shape)
     llm.params = _put(llm.params, param_pspecs(llm.params), mesh)
     llm.state = _put(llm.state, state_pspecs(llm.state), mesh)
     llm.projections = jax.device_put(
         llm.projections, NamedSharding(mesh, P(None, None)))
     llm.mesh = mesh
+    llm.seq_axis = seq_axis
     return llm

@@ -32,6 +32,7 @@ Two layouts:
 
 from __future__ import annotations
 
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -55,21 +56,10 @@ def _merge(o1, l1, o2, l2):
     return o, lse
 
 
-def _zigzag_perm(s: int, n: int) -> jnp.ndarray:
-    """Global token index held at zigzag position i: device r's shard is
-    [chunk r ; chunk 2n-1-r] of 2n chunks of c = s/(2n) tokens."""
-    c = s // (2 * n)
-    idx = []
-    for r in range(n):
-        idx.append(np.arange(r * c, (r + 1) * c))
-        idx.append(np.arange((2 * n - 1 - r) * c, (2 * n - r) * c))
-    return jnp.asarray(np.concatenate(idx), jnp.int32)
-
-
 def ring_prefill(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
                  axis: str = "seq", sm_scale: float | None = None,
                  block_k: int = 1024, layout: str = "zigzag",
-                 use_pallas: bool = False,
+                 use_pallas: bool = False, head_axis: str | None = None,
                  interpret: bool = False) -> jax.Array:
     """Causal self-attention with the sequence sharded over `axis`.
 
@@ -79,7 +69,11 @@ def ring_prefill(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
     sharded like q. `layout`: see module docstring. `use_pallas`: each
     per-step partial runs the whole-prompt Pallas kernel with LSE export
     (`ops/pallas/prefill.py`) instead of the XLA flash scan — shape-gated
-    below, falls back silently when the kernel's tiling can't apply.
+    below; a gate failure warns LOUDLY and falls back to the XLA scan.
+    `head_axis`: optional second mesh axis sharding the HEAD dims (tensor
+    parallelism composed with sequence parallelism — each (seq, model)
+    shard rings over its local kv-head group; requires Hq and Hkv to
+    divide the axis).
     """
     n = mesh.shape[axis]
     s = q.shape[1]
@@ -87,19 +81,34 @@ def ring_prefill(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
         d_ = q.shape[3]
         fold = max(128 // d_, 1)
         chunk = s // (2 * n) if layout == "zigzag" else s // n
+        hq_local = q.shape[2] // (mesh.shape[head_axis] if head_axis else 1)
+        hkv_local = k.shape[2] // (mesh.shape[head_axis] if head_axis else 1)
         tq = min(512, chunk)
         while chunk % tq:
             tq //= 2
-        gtq = (q.shape[2] // k.shape[2]) * tq
-        use_pallas = (d_ * fold == 128 and chunk % fold == 0
-                      and gtq % 128 == 0)
+        gtq = max(hq_local // max(hkv_local, 1), 1) * tq
+        ok = d_ * fold == 128 and chunk % fold == 0 and gtq % 128 == 0
+        if not ok:
+            warnings.warn(
+                f"ring_prefill: Pallas partials requested but shape-gated "
+                f"off (d={d_}, fold={fold}, chunk={chunk}, GTq={gtq}); "
+                f"falling back to the XLA flash scan", stacklevel=2)
+        use_pallas = ok
     assert layout in ("zigzag", "contiguous"), layout
     zig = layout == "zigzag"
     if zig:
         assert s % (2 * n) == 0, (s, n)
         c = s // (2 * n)
-        perm_idx = _zigzag_perm(s, n)
-        q, k, v = (a[:, perm_idx] for a in (q, k, v))
+        # Chunk-level permutation (a [2n]-gather on the chunk axis — XLA
+        # lowers it to slices/concat) instead of a token-level [S]-gather.
+        order = np.asarray([x for r in range(n) for x in (r, 2 * n - 1 - r)])
+
+        def chunk_perm(a, idx):
+            b_, s_ = a.shape[0], a.shape[1]
+            return a.reshape((b_, 2 * n, c) + a.shape[2:])[:, idx].reshape(
+                (b_, s_) + a.shape[2:])
+
+        q, k, v = (chunk_perm(a, order) for a in (q, k, v))
     else:
         assert s % n == 0, (s, n)
 
@@ -184,12 +193,11 @@ def ring_prefill(q: jax.Array, k: jax.Array, v: jax.Array, mesh,
         out, _, _, _ = jax.lax.fori_loop(0, nn, step, (out0, lse0, ks, vs))
         return out.astype(qs.dtype)
 
-    spec = P(None, axis, None, None)
+    spec = P(None, axis, head_axis, None)
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec, spec, spec),
                    out_specs=spec)
     out = fn(q, k, v)
     if zig:
-        inv = jnp.zeros((s,), jnp.int32).at[perm_idx].set(
-            jnp.arange(s, dtype=jnp.int32))
-        out = out[:, inv]
+        inv_order = np.argsort(order)
+        out = chunk_perm(out, inv_order)
     return out

@@ -123,7 +123,8 @@ class LLM:
             # kernels, e.g. if a toolchain rev mis-lowers only this kernel.
             return False
         mesh = getattr(self, "mesh", None)
-        if mesh is not None and cfg.num_key_value_heads % mesh.shape["model"]:
+        if (mesh is not None
+                and cfg.num_key_value_heads % mesh.shape.get("model", 1)):
             return False
         if 128 % cfg.head_dim:
             return False
@@ -150,6 +151,29 @@ class LLM:
             mesh, q, k, v, length, q_offset=q_offset,
             window=cfg.sliding_window, interpret=_interp())
 
+    def _ring_prefill_on(self, p_pad: int) -> bool:
+        """Sequence-parallel ring prefill: active when the engine was
+        sharded with a `seq_axis` (`shard_engine(..., seq_axis=...)`) and
+        the padded prompt divides into 2x axis-size zigzag chunks. A gate
+        failure warns loudly — seq-parallelism silently not happening is a
+        capacity surprise at 96K."""
+        mesh = getattr(self, "mesh", None)
+        seq_axis = getattr(self, "seq_axis", None)
+        if mesh is None or not seq_axis:
+            return False
+        n = mesh.shape[seq_axis]
+        if n <= 1:
+            return False
+        if p_pad % (2 * n):
+            import warnings
+
+            warnings.warn(
+                f"seq-parallel prefill requested but p_pad={p_pad} does not "
+                f"divide 2*{n} zigzag chunks; falling back to single-shard "
+                f"prefill", stacklevel=3)
+            return False
+        return True
+
     def _prefill_fn(self, params: LlamaParams, state, tokens, true_len, req,
                     *, p_pad: int):
         cfg, lsh = self.config, self.lsh
@@ -157,6 +181,20 @@ class LLM:
         n_chunks = p_pad // c
         hidden = params.embed[tokens][None]                  # [1, P, h]
         positions = jnp.arange(p_pad, dtype=jnp.int32)[None]
+        mesh = getattr(self, "mesh", None)
+        ring_on = self._ring_prefill_on(p_pad)
+        if ring_on:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from magicpig_tpu.parallel.ring import ring_prefill
+
+            seq_axis = self.seq_axis
+            head_axis = ("model" if mesh.shape.get("model", 1) > 1 else None)
+            # Shard the token axis so every layer's activation transients
+            # (hidden, q/k/v, MLP) split over the seq axis — the capacity
+            # win that motivates seq-parallel prefill past one chip.
+            hidden = jax.lax.with_sharding_constraint(
+                hidden, NamedSharding(mesh, P(None, seq_axis, None)))
 
         # Attention in 1024-query sub-chunks under lax.scan: bounds the
         # softmax transient to [Hkv, G, sub, sub] (a block_k == chunk_size
@@ -167,6 +205,12 @@ class LLM:
         n_sub = p_pad // sub
 
         def attn_scan(q, k, v):  # q [1,P,Hq,d]; k/v [1,P,Hkv,d]
+            if ring_on:
+                o = ring_prefill(
+                    q, k, v, mesh, axis=seq_axis, head_axis=head_axis,
+                    block_k=min(1024, p_pad),
+                    use_pallas=self._pallas_prefill(), interpret=_interp())
+                return o.reshape(1, p_pad, -1)               # [1, P, Hq*d]
             if self._pallas_prefill():
                 # Whole-prompt Pallas flash kernel: the XLA scan below
                 # round-trips ~134 MB of score/probability intermediates

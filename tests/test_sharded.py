@@ -132,3 +132,40 @@ def test_sharded_staged_prefill_matches_oneshot():
             h.step()
         got = np.asarray(h.logits)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("use_pallas", ["off", "on"])
+def test_seq_parallel_engine_prefill_matches_single_device(use_pallas):
+    """Engine-integrated ring prefill (`shard_engine(seq_axis="data")`):
+    the seq-sharded `LLM.prefill` + decode must match the single-device
+    engine. use_pallas="on" runs the ring's Pallas partials (interpret) —
+    the production kernel call graph under the mesh."""
+    import dataclasses
+    import warnings
+
+    lsh = dataclasses.replace(_lsh_cfg("block_topk"), use_pallas=use_pallas)
+    rng = np.random.default_rng(14)
+    # 250/200 both pad to 256 -> zigzag chunk 64 over seq=2: the ring's
+    # Pallas-partials gate (GTq = G*tq = 128) holds, so "on" runs the real
+    # kernel per ring step (asserted via no-fallback-warning below).
+    prompts = [rng.integers(1, CFG.vocab_size, size=n).astype(np.int32)
+               for n in (250, 200)]
+    max_len = 320
+
+    ref = LLM(CFG, batch_size=B, max_length=max_len, chunk_size=64,
+              lsh=lsh, seed=6)
+    ref_logits, ref_sparsity = _run(ref, prompts)
+
+    mesh = make_mesh(2, 4)
+    llm = LLM(CFG, batch_size=B, max_length=max_len, chunk_size=64,
+              lsh=lsh, seed=6)
+    shard_engine(llm, mesh, seq_axis="data")
+    assert llm._ring_prefill_on(256)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sh_logits, sh_sparsity = _run(llm, prompts, mesh)
+    assert not [w for w in caught if "ring_prefill" in str(w.message)], (
+        [str(w.message) for w in caught])
+
+    np.testing.assert_allclose(sh_logits, ref_logits, rtol=2e-3, atol=2e-3)
+    assert abs(sh_sparsity - ref_sparsity) < 1e-3
