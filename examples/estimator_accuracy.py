@@ -42,8 +42,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from magicpig_tpu.config import LSHConfig
 
 from train_needle import (  # noqa: E402
-    BOS, MARK, QUERY, FILLER_LO, FILLER_HI, KEY_LO, KEY_HI, VAL_LO, VAL_HI,
-    load_params, model_config,
+    BOS, MARK, QUERY, QUERY2, FILLER_LO, FILLER_HI, KEY_LO, KEY_HI, VAL_LO,
+    VAL_HI, load_params, model_config,
 )
 
 
@@ -100,20 +100,48 @@ def estimator_configs(K: int, L: int):
     }
 
 
-def make_eval_sample(rng: np.random.Generator, ctx: int, n_needles: int):
-    """One haystack with the queried needle forced deep into the offload
-    region (>= 256 tokens from the end, beyond sink+local+buffer)."""
+def make_eval_sample(rng: np.random.Generator, ctx: int, n_needles: int,
+                     task: str = "single"):
+    """One haystack with the needles forced deep into the offload region
+    (>= 256 tokens from the end, beyond sink+local+buffer). Returns
+    (tokens, queries) where queries is a list of (query_marker, query_key,
+    expected_value) decode probes:
+      * single     — one probe for a random needle (RULER niah_single/
+                     multikey depending on n_needles)
+      * multiquery — one probe PER needle (RULER niah_multiquery,
+                     `/root/reference/evaluations/RULER/.../constants.py`)
+      * hop        — 2-hop variable-tracking analogue: each needle has a
+                     chain link (MARK c k) in the haystack; the probe
+                     "[QUERY2] c" expects the BASE needle's value (RULER
+                     vt analogue; see train_needle.make_batch hop_frac)
+    """
     toks = rng.integers(FILLER_LO, FILLER_HI, size=ctx)
     toks[0] = BOS
-    keys = rng.choice(np.arange(KEY_LO, KEY_HI), size=n_needles,
+    keys = rng.choice(np.arange(KEY_LO, KEY_HI), size=2 * n_needles,
                       replace=False)
+    chain = keys[n_needles:]
+    keys = keys[:n_needles]
     vals = rng.integers(VAL_LO, VAL_HI, size=n_needles)
-    pos = np.sort(rng.choice(np.arange(8, ctx - 256 - 3 * n_needles),
-                             size=n_needles, replace=False))
-    for i, p in enumerate(pos):
-        toks[p:p + 3] = (MARK, keys[i], vals[i])
-    qi = rng.integers(0, n_needles)
-    return toks.astype(np.int32), int(keys[qi]), int(vals[qi])
+    n_marks = 2 * n_needles if task == "hop" else n_needles
+    pos = np.sort(rng.choice(np.arange(8, ctx - 256 - 3 * n_marks),
+                             size=n_marks, replace=False))
+    for i in range(n_needles):
+        toks[pos[i]:pos[i] + 3] = (MARK, keys[i], vals[i])
+    if task == "hop":
+        for i in range(n_needles):
+            p = pos[n_needles + i]
+            toks[p:p + 3] = (MARK, chain[i], keys[i])
+        queries = [(QUERY2, int(chain[i]), int(vals[i]))
+                   for i in range(n_needles)]
+        qi = rng.integers(0, n_needles)
+        queries = [queries[qi]]
+    elif task == "multiquery":
+        order = rng.permutation(n_needles)
+        queries = [(QUERY, int(keys[i]), int(vals[i])) for i in order]
+    else:
+        qi = rng.integers(0, n_needles)
+        queries = [(QUERY, int(keys[qi]), int(vals[qi]))]
+    return toks.astype(np.int32), queries
 
 
 def main():
@@ -125,6 +153,10 @@ def main():
     # trains 1-needle then 2-needle; data/needle_ckpt.npz never saw 4, and
     # scores ~chance on 4-needle haystacks).
     ap.add_argument("--needles", type=int, default=2)
+    ap.add_argument("--task", type=str, default="single",
+                    choices=["single", "multiquery", "hop"],
+                    help="probe protocol (see make_eval_sample); multiquery "
+                         "and hop write summary_<task>.csv")
     ap.add_argument("--K", type=int, default=10)
     ap.add_argument("--L", type=int, default=150)
     ap.add_argument("--seed", type=int, default=7)
@@ -157,9 +189,15 @@ def main():
         bits = 4 if args.weight_quant == "int4" else 8
         params = quantize_params(params, bits=bits)
         suffix = f"_w{bits}"
+    if args.needles != 2:
+        # The committed summary.csv rows are 2-needle; distinguish probes
+        # at other needle counts (the 1-needle high-ceiling probe) by name.
+        suffix += f"_n{args.needles}"
     os.makedirs(args.out, exist_ok=True)
     rows = []
-    csv_path = os.path.join(args.out, "summary.csv")
+    csv_name = ("summary.csv" if args.task == "single"
+                else f"summary_{args.task}.csv")
+    csv_path = os.path.join(args.out, csv_name)
     # Append-only: partial re-runs (one context, an estimator subset) must
     # not clobber previously committed rows; rows are written incrementally
     # so a crash keeps everything finished so far.
@@ -171,7 +209,8 @@ def main():
         samples = []
         rng = np.random.default_rng(args.seed + ctx)
         for _ in range(args.samples):
-            samples.append(make_eval_sample(rng, ctx, args.needles))
+            samples.append(make_eval_sample(rng, ctx, args.needles,
+                                            task=args.task))
         configs = estimator_configs(args.K, args.L)
         if args.estimators:
             keep = args.estimators.split(",")
@@ -182,15 +221,22 @@ def main():
                       seed=0)
             snap = llm.sparsity_snapshot()
             correct = 0
+            total = 0
             t0 = time.time()
-            for toks, kq, vq in samples:
+            for toks, queries in samples:
                 llm.release_slot(0)
                 llm.prefill(toks, request_id=0)
-                llm.inference(np.asarray([QUERY], np.int32))
-                logits = llm.inference(np.asarray([kq], np.int32))
-                if int(np.asarray(logits)[0].argmax()) == vq:
-                    correct += 1
-            acc = correct / len(samples)
+                for j, (marker, kq, vq) in enumerate(queries):
+                    llm.inference(np.asarray([marker], np.int32))
+                    logits = llm.inference(np.asarray([kq], np.int32))
+                    if int(np.asarray(logits)[0].argmax()) == vq:
+                        correct += 1
+                    total += 1
+                    # Teacher-force the TRUE value before the next probe —
+                    # the training protocol's "[Q] k v [Q] k v" layout.
+                    if j + 1 < len(queries):
+                        llm.inference(np.asarray([vq], np.int32))
+            acc = correct / total
             spars = llm.avg_sparsity_since(snap)
             rows.append((ctx, name, acc, spars))
             with open(csv_path, "a") as f:

@@ -54,6 +54,7 @@ from magicpig_tpu.ops.attention import flash_prefill
 
 # -- vocabulary ---------------------------------------------------------------
 PAD, BOS, MARK, QUERY = 0, 1, 2, 3
+QUERY2 = 4                         # 2-hop (variable-tracking) query marker
 FILLER_LO, FILLER_HI = 8, 448      # haystack noise tokens
 KEY_LO, KEY_HI = 448, 704          # needle keys
 VAL_LO, VAL_HI = 704, 960          # needle values
@@ -80,7 +81,8 @@ def model_config(dtype=jnp.float32) -> ModelConfig:
 
 
 def make_batch(rng: np.random.Generator, batch: int, seq: int,
-               n_needles: int = 4, min_seq: int | None = None):
+               n_needles: int = 4, min_seq: int | None = None,
+               hop_frac: float = 0.0):
     """Returns (tokens [B, seq] i32, target [B, seq] i32, mask [B, seq]
     bool). Every needle is queried in a tail block "[Q] k v [Q] k v ...";
     the loss applies at each value position (predict v from ... [Q] k) —
@@ -91,15 +93,27 @@ def make_batch(rng: np.random.Generator, batch: int, seq: int,
     min_seq: when set, each sequence's CONTENT length R is drawn uniformly
     from [min_seq, seq] and the query block sits at R (tokens beyond R are
     causal-dead filler): one compiled graph trains every context length, so
-    the long-context stage cannot erode short-context skill."""
+    the long-context stage cannot erode short-context skill.
+
+    hop_frac: fraction of samples drawn as the 2-HOP variable-tracking
+    analogue (RULER vt, `/root/reference/evaluations/RULER/data/synthetic/
+    variable_tracking.py`): each base needle (MARK k v) gets a chain link
+    (MARK c k) whose value is the base KEY, and the query "[QUERY2] c"
+    expects the base needle's VALUE — resolving it needs two retrieval
+    hops through the sparse path in one forward. Chain keys are drawn from
+    the same key range, disjoint from the base keys of that sample."""
     qlen = 3 * n_needles
     toks = rng.integers(FILLER_LO, FILLER_HI, size=(batch, seq))
-    keys = np.stack([rng.choice(np.arange(KEY_LO, KEY_HI), size=n_needles,
+    keys = np.stack([rng.choice(np.arange(KEY_LO, KEY_HI),
+                                size=2 * n_needles,
                                 replace=False) for _ in range(batch)])
+    chain = keys[:, n_needles:]
+    keys = keys[:, :n_needles]
     vals = rng.integers(VAL_LO, VAL_HI, size=(batch, n_needles))
     target = np.zeros((batch, seq), np.int64)
     mask = np.zeros((batch, seq), bool)
     for b in range(batch):
+        hop = rng.random() < hop_frac
         r = seq if min_seq is None else int(rng.integers(min_seq, seq + 1))
         # Needles go in the FAR region (>= ~256 tokens before the query),
         # matching the eval protocol: retrieval from inside the local
@@ -107,15 +121,21 @@ def make_batch(rng: np.random.Generator, batch: int, seq: int,
         # signal for the hard long-range case.
         far = min(256, (r - qlen) // 2)
         hi = r - qlen - 3 * n_needles - far
+        n_marks = 2 * n_needles if hop else n_needles
         pos = np.sort(rng.choice(np.arange(1, max(hi, 2)),
-                                 size=n_needles, replace=False))
-        for i, p in enumerate(pos):
-            toks[b, p:p + 3] = (MARK, keys[b, i], vals[b, i])
+                                 size=n_marks, replace=False))
+        for i in range(n_needles):
+            toks[b, pos[i]:pos[i] + 3] = (MARK, keys[b, i], vals[b, i])
+        if hop:
+            for i in range(n_needles):
+                p = pos[n_needles + i]
+                toks[b, p:p + 3] = (MARK, chain[b, i], keys[b, i])
         order = rng.permutation(n_needles)
         base = r - qlen
         for j, qi in enumerate(order):
+            qk = chain[b, qi] if hop else keys[b, qi]
             toks[b, base + 3 * j:base + 3 * j + 3] = (
-                QUERY, keys[b, qi], vals[b, qi])
+                QUERY2 if hop else QUERY, qk, vals[b, qi])
             # position of k predicts v (next-token loss at index of k).
             target[b, base + 3 * j + 1] = vals[b, qi]
             mask[b, base + 3 * j + 1] = True
@@ -177,6 +197,8 @@ def main():
     ap.add_argument("--needles", type=int, default=4)
     ap.add_argument("--min-seq", type=int, default=None,
                     help="variable content length: uniform in [min_seq, seq]")
+    ap.add_argument("--hop-frac", type=float, default=0.0,
+                    help="fraction of samples as the 2-hop vt analogue")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default="data/needle_ckpt.npz")
     ap.add_argument("--init", type=str, default=None,
@@ -216,7 +238,8 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         toks, tgt, msk = make_batch(rng, args.batch, args.seq, args.needles,
-                                    min_seq=args.min_seq)
+                                    min_seq=args.min_seq,
+                                    hop_frac=args.hop_frac)
         params, opt_state, loss, acc = step(params, opt_state,
                                             jnp.asarray(toks),
                                             jnp.asarray(tgt),

@@ -225,8 +225,10 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     # Fold-permuted streams: token t = R*fold + f -> [.., f, R].
     norm_f = k_norm.astype(jnp.float32).reshape(
         b, hkv, s // fold, fold).transpose(0, 1, 3, 2)   # [B,Hkv,fold,S/f]
-    # Mask in the scorer's fold-major row order (row f*G + g, col R).
-    mask_f = mask.astype(jnp.int32).reshape(
+    # Mask in the scorer's fold-major row order (row f*G + g, col R) —
+    # int8: the kernel only tests > 0, and the int32 stream was 4x the
+    # bytes (12.6 MB r+w per layer at 96K).
+    mask_f = mask.astype(jnp.int8).reshape(
         b, hkv, g, s // fold, fold).transpose(0, 1, 4, 2, 3).reshape(
         b, hkv, gf, s // fold)
     if quant:
