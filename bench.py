@@ -340,7 +340,13 @@ def main():
                      if "Error" in ln or "error" in ln][-2:]
             print(f"# {mode}: B={B} failed ({'; '.join(lines)[:300]}) "
                   f"[full log: {diag}]", file=sys.stderr)
-            if any(sig in stderr for sig in INFRA_SIGS):
+            is_mosaic = ("MosaicError" in stderr
+                         or "Mosaic failed to compile" in stderr)
+            # Check Mosaic FIRST: the remote compile helper's log spews
+            # benign libtpu-init warnings (TPU_WORKER_HOSTNAMES et al.)
+            # around the REAL kernel error, so infra signatures only count
+            # when no kernel failure is present.
+            if not is_mosaic and any(sig in stderr for sig in INFRA_SIGS):
                 # Environment/claim flake — nothing about (mode, B) failed.
                 # Retry at the SAME batch instead of shrinking it.
                 infra_retries += 1
@@ -352,8 +358,7 @@ def main():
                 print(f"# {mode}: persistent infra failure; giving up mode",
                       file=sys.stderr)
                 break
-            if ("MosaicError" in stderr
-                    or "Mosaic failed to compile" in stderr):
+            if is_mosaic:
                 # Kernel-lowering failures are usually batch-independent,
                 # but some VMEM/resource errors scale with B: allow ONE
                 # smaller-B attempt before abandoning the mode (the

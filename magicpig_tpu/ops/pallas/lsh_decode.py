@@ -96,7 +96,10 @@ def _kernel(q_ref, k_ref, v_ref, ksc_ref, vsc_ref, norm_ref, mask_ref,
     kn8 = jnp.concatenate(
         [norm3[f:f + 1] for f in range(fold) for _ in range(g)], axis=0)
 
-    sel = mask2 > 0                                     # [GF, rows]
+    # int8 vector compare has no lowering on this target ("Target does not
+    # support this comparison" on vector<..xi8> cmpi) — widen first. The
+    # HBM stream stays int8; the widening is in-register.
+    sel = mask2.astype(jnp.int32) > 0                   # [GF, rows]
     cosv = raw / jnp.maximum(qn * kn8, 1e-20)
     cosv = jnp.clip(cosv, -1.0, 1.0)
     p_bit = 1.0 - _acos(cosv) / math.pi
