@@ -53,6 +53,8 @@ run 14400 bench_8b python bench.py --model llama-3.1-8b --weight-quant int4 --mo
 # 6. lsh at its re-opened analytic batch (B=2), W8 like every other mode
 #    (unified weight format; the driver falls back to bf16 only if W8
 #    fails at every batch — the row self-describes via weight_quant).
-run 7200 bench_lsh_b2 python bench.py --modes lsh --mode lsh --B 2 --baseline-tps 156.1
+#    Longer attempt timeout: the B=2 fused-lsh graph compiles >1000 s even
+#    with a warm cache (measured on the 16K quick bench, 2026-08-19).
+run 10800 bench_lsh_b2 python bench.py --modes lsh --mode lsh --B 2 --baseline-tps 156.1 --attempt-timeout 2800
 
 echo "RUNBOOK DONE" | tee -a $R/runbook.log
