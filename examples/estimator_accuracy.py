@@ -255,7 +255,7 @@ def main():
             acc = next(a for c, nm, a, _ in rows if c == ctx and nm == n)
             cells.append(f"{acc:.3f}")
         print(f"| {ctx} | " + " | ".join(cells) + " |")
-    print(f"\nwrote {args.out}/summary.csv")
+    print(f"\nwrote {args.out}/{csv_name}")
 
 
 if __name__ == "__main__":

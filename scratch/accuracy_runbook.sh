@@ -32,7 +32,16 @@ run() {  # run <timeout_s> <logname> <cmd...>
     return $rc
 }
 
-run 300 probe python -c "import jax, jax.numpy as jnp; print(jax.devices()); print((jnp.ones((128,128), jnp.bfloat16)@jnp.ones((128,128), jnp.bfloat16)).sum())" || exit 1
+# Retry the probe: a wedged pool claim recovers in tens of minutes.
+PROBE_OK=0
+for i in 1 2 3 4 5 6 7 8; do
+  if run 300 probe python -c "import jax, jax.numpy as jnp; print(jax.devices()); print((jnp.ones((128,128), jnp.bfloat16)@jnp.ones((128,128), jnp.bfloat16)).sum())"; then
+    PROBE_OK=1; break
+  fi
+  echo "=== probe attempt $i failed; sleeping 600s" | tee -a $R/runbook.log
+  sleep 600
+done
+[ "$PROBE_OK" = 1 ] || exit 1
 
 KEY_ESTS="full,lsh_K10L150,lsh_K10L150_int8,quest_4pct,block_topk4_flagship,topk_2pct"
 

@@ -22,8 +22,18 @@ run() {  # run <timeout_s> <logname> <cmd...>
     return $rc
 }
 
-# 0. Health probe (fast fail if the claim is still wedged).
-run 300 probe python -c "import jax, jax.numpy as jnp; print(jax.devices()); print((jnp.ones((128,128), jnp.bfloat16)@jnp.ones((128,128), jnp.bfloat16)).sum())" || exit 1
+# 0. Health probe. A wedged pool claim recovers on its own in tens of
+#    minutes (observed twice on 2026-08-19), so retry with spacing rather
+#    than dying on the first hang.
+PROBE_OK=0
+for i in 1 2 3 4 5 6 7 8; do
+  if run 300 probe python -c "import jax, jax.numpy as jnp; print(jax.devices()); print((jnp.ones((128,128), jnp.bfloat16)@jnp.ones((128,128), jnp.bfloat16)).sum())"; then
+    PROBE_OK=1; break
+  fi
+  echo "=== probe attempt $i failed; sleeping 600s" | tee -a $R/runbook.log
+  sleep 600
+done
+[ "$PROBE_OK" = 1 ] || exit 1
 
 # 1. Mosaic parity for the unmeasured round-2b/2c kernels. A pack4
 #    failure invalidates the flagship decode mode -> stop (bench.py's own
