@@ -112,15 +112,19 @@ def worker(args):
         lsh = make_lsh("block_topk", args.K, args.L)
         llm = LLM(cfg, batch_size=1, max_length=args.M, lsh=lsh, seed=0,
                   chunk_size=args.chunk)
-        ids = np.random.default_rng(0).integers(
-            1, cfg.vocab_size, size=args.P).astype(np.int32)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(1, cfg.vocab_size, size=args.P).astype(np.int32)
+        # DISTINCT timed input: the axon tunnel memoizes identical
+        # dispatches (same executable + same args returned in ~us — a
+        # round-2c run recorded 65M "tok/s" this way).
+        ids2 = rng.integers(1, cfg.vocab_size, size=args.P).astype(np.int32)
         import jax
         jax.block_until_ready(llm.prefill(ids))   # compile + run
         print(f"# worker[prefill]: compiled at "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
         llm.clear()
         t1 = time.perf_counter()
-        jax.block_until_ready(llm.prefill(ids))
+        jax.block_until_ready(llm.prefill(ids2))
         dt = time.perf_counter() - t1
         print("WORKER:" + json.dumps({"tps": args.P / dt, "sparsity": 0.0,
                                       "weight_quant": wq}), flush=True)

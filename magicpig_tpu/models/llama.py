@@ -52,15 +52,39 @@ class Quant4Weight:
     Per-channel-only int4 loses too much precision; 128-input groups are
     the standard remedy AND exactly one MXU contraction depth, so the
     decode path runs one batched s8 x s8 dot per group with the group
-    scale applied to the [g, M, out] partials — no dequantized weight ever
-    exists in HBM. Weight stream per step halves again vs int8 (1.2 ->
-    0.6 GB for a 1B model), and 8B-class weights drop to ~4.4 GB — which
-    is what puts Llama-3.1-8B @ 96K inside one 16 GB chip with the
-    block_topk4 estimator state (see BENCHMARKS.md capacity table).
+    scale applied to the [g, M, out] partials. 8B-class weights drop to
+    ~4.4 GB at rest — which is what puts Llama-3.1-8B @ 96K inside one
+    16 GB chip with the block_topk4 estimator state (BENCHMARKS.md
+    capacity table).
+
+    Storage is NIBBLE-PACKED int8 (two input rows per byte), NOT jnp.int4:
+    s4 arrays recurse in `device_put` at every dispatch boundary on this
+    TPU backend (measured 2026-08-19: even an S4[] scalar dispatch dies
+    with "Recursively calling jit"), so int4 data never crosses a jit
+    boundary — it is unpacked in-register inside the graph.
     """
 
-    q: jax.Array       # int4 [..., in, out], values in [-7, 7]
+    q: jax.Array       # int8 [..., in//2, out]; byte row r packs input
+    #                    rows 2r (low nibble) and 2r+1 (high), values
+    #                    in [-7, 7] each
     scale: jax.Array   # f32 [..., in//128, out]
+
+
+def _pack_nibbles(q: jax.Array) -> jax.Array:
+    """int8 [-7..7] values [..., in, out] -> packed int8 [..., in//2, out]."""
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    return ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_weight4(p: jax.Array) -> jax.Array:
+    """Packed int8 [..., in//2, out] -> int8 [..., in, out] (sign-extended
+    nibbles). In-graph only; the unpacked form never persists in HBM
+    beyond the consuming matmul's transient."""
+    lo = ((p << 4) >> 4).astype(jnp.int8)    # arithmetic: sign-extends
+    hi = (p >> 4).astype(jnp.int8)
+    st = jnp.stack([lo, hi], axis=-2)        # [..., in//2, 2, out]
+    return st.reshape(*p.shape[:-2], p.shape[-2] * 2, p.shape[-1])
 
 
 def quantize_weight4(w: jax.Array) -> Quant4Weight:
@@ -72,8 +96,8 @@ def quantize_weight4(w: jax.Array) -> Quant4Weight:
     wg = wf.reshape(*lead, g, W4_GROUP, out)
     scale = jnp.max(jnp.abs(wg), axis=-2) / 7.0              # [..., g, out]
     q = jnp.round(wg / jnp.maximum(scale[..., None, :], 1e-12))
-    q = jnp.clip(q, -7, 7).reshape(*lead, kin, out)
-    return Quant4Weight(q=q.astype(jnp.int4), scale=scale)
+    q = jnp.clip(q, -7, 7).reshape(*lead, kin, out).astype(jnp.int8)
+    return Quant4Weight(q=_pack_nibbles(q), scale=scale)
 
 
 def _linear4(x: jax.Array, w: Quant4Weight) -> jax.Array:
@@ -84,8 +108,9 @@ def _linear4(x: jax.Array, w: Quant4Weight) -> jax.Array:
         # Prefill-scale batches are compute-bound: one dequantized-weight
         # pass in the activation dtype (the [kin, out] transient is a
         # single weight block in VMEM-sized tiles, never persisted).
-        wde = (w.q.astype(jnp.float32).reshape(g, W4_GROUP, out)
-               * w.scale[:, None, :]).reshape(kin, out).astype(x.dtype)
+        wde = (unpack_weight4(w.q).astype(jnp.float32).reshape(
+            g, W4_GROUP, out) * w.scale[:, None, :]).reshape(
+            kin, out).astype(x.dtype)
         return x @ wde
     # Decode-scale: per-token int8 activations, one batched s8 x s8 MXU
     # dot over the 128-deep groups, group scales applied to the partials.
@@ -94,7 +119,7 @@ def _linear4(x: jax.Array, w: Quant4Weight) -> jax.Array:
     xq = jnp.round(xf / jnp.maximum(sx, 1e-12))
     xq = jnp.clip(xq, -127, 127).astype(jnp.int8)
     xg = xq.reshape(m, g, W4_GROUP).transpose(1, 0, 2)       # [g, M, 128]
-    wq = w.q.astype(jnp.int8).reshape(g, W4_GROUP, out)      # [g, 128, out]
+    wq = unpack_weight4(w.q).reshape(g, W4_GROUP, out)       # [g, 128, out]
     res = jax.lax.dot_general(xg, wq, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.int32)
     outv = (res.astype(jnp.float32) * w.scale[:, None, :]).sum(0) * sx

@@ -18,6 +18,7 @@ from magicpig_tpu.models.llama import (
     Quant4Weight,
     linear,
     quantize_weight4,
+    unpack_weight4,
 )
 
 
@@ -26,8 +27,12 @@ def test_quantize4_roundtrip_bound():
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.standard_normal((256, 192)) * 0.3, jnp.float32)
     qw = quantize_weight4(w)
-    assert str(qw.q.dtype) == "int4" and qw.scale.shape == (2, 192)
-    q = np.asarray(qw.q, np.float32).reshape(2, W4_GROUP, 192)
+    # nibble-packed int8 storage (s4 arrays break at dispatch boundaries
+    # on the axon backend; see Quant4Weight docstring)
+    assert str(qw.q.dtype) == "int8" and qw.q.shape == (128, 192)
+    assert qw.scale.shape == (2, 192)
+    q = np.asarray(unpack_weight4(qw.q), np.float32).reshape(
+        2, W4_GROUP, 192)
     wde = (q * np.asarray(qw.scale)[:, None, :]).reshape(256, 192)
     err = np.abs(wde - np.asarray(w))
     bound = np.repeat(np.asarray(qw.scale), W4_GROUP, axis=0) * 0.5 + 1e-6
@@ -39,7 +44,7 @@ def test_quantize4_stacked_layer_slice():
     rng = np.random.default_rng(1)
     w = jnp.asarray(rng.standard_normal((3, 128, 64)), jnp.float32)
     qw = quantize_weight4(w)
-    assert qw.q.shape == (3, 128, 64) and qw.scale.shape == (3, 1, 64)
+    assert qw.q.shape == (3, 64, 64) and qw.scale.shape == (3, 1, 64)
     per = quantize_weight4(w[1])
     np.testing.assert_array_equal(np.asarray(qw.q[1], np.int8),
                                   np.asarray(per.q, np.int8))
@@ -156,6 +161,6 @@ def test_w4_param_pspecs_consistent():
     sharded = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
     lw = sharded.layers
-    assert str(lw.wq.q.dtype) == "int4"
+    assert str(lw.wq.q.dtype) == "int8"
     # Row-parallel w_down: in=512 -> 4 groups over 4 model shards.
     assert lw.w_down.scale.shape == (cfg.num_hidden_layers, 4, 512)
