@@ -118,13 +118,16 @@ def worker(args):
         # dispatches (same executable + same args returned in ~us — a
         # round-2c run recorded 65M "tok/s" this way).
         ids2 = rng.integers(1, cfg.vocab_size, size=args.P).astype(np.int32)
-        import jax
-        jax.block_until_ready(llm.prefill(ids))   # compile + run
+        # Scalar FETCH, not block_until_ready: through the axon tunnel the
+        # latter can return before the device finishes (the 18.8M "tok/s"
+        # artifact in results/hw_r2c/bench_prefill_v2.log); fetching a
+        # value forces completion (same finding as scratch/calibrate.py).
+        _ = float(np.asarray(llm.prefill(ids))[0, 0])   # compile + run
         print(f"# worker[prefill]: compiled at "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
         llm.clear()
         t1 = time.perf_counter()
-        jax.block_until_ready(llm.prefill(ids2))
+        _ = float(np.asarray(llm.prefill(ids2))[0, 0])
         dt = time.perf_counter() - t1
         print("WORKER:" + json.dumps({"tps": args.P / dt, "sparsity": 0.0,
                                       "weight_quant": wq}), flush=True)

@@ -100,16 +100,31 @@ def quantize_weight4(w: jax.Array) -> Quant4Weight:
     return Quant4Weight(q=_pack_nibbles(q), scale=scale)
 
 
-def _linear4(x: jax.Array, w: Quant4Weight) -> jax.Array:
+_W4_UNPACK_BYTES = 1 << 25   # max unpacked-weight transient per chunk (32 MB)
+
+
+def _w4_out_chunks(kin: int, out: int) -> int:
+    """Smallest divisor of `out` keeping the unpacked [kin, out/nc] int8
+    transient under _W4_UNPACK_BYTES. An 8B lm_head ([4096, 128256]) would
+    otherwise materialize a 525 MB int8 (decode) / 1.05 GB bf16 (prefill)
+    unpack per step — the allocation that OOMed the 8B@96K bench."""
+    for nc in range(1, out + 1):
+        if out % nc == 0 and (out // nc) * kin <= _W4_UNPACK_BYTES:
+            return nc
+    return out
+
+
+def _linear4_part(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
+    """x @ W for one (packed q, scale) column slice; x [..., kin]."""
     kin = x.shape[-1]
-    g, out = w.scale.shape
+    g, out = scale.shape
     m = x.size // kin
     if m >= 512:
         # Prefill-scale batches are compute-bound: one dequantized-weight
         # pass in the activation dtype (the [kin, out] transient is a
         # single weight block in VMEM-sized tiles, never persisted).
-        wde = (unpack_weight4(w.q).astype(jnp.float32).reshape(
-            g, W4_GROUP, out) * w.scale[:, None, :]).reshape(
+        wde = (unpack_weight4(q).astype(jnp.float32).reshape(
+            g, W4_GROUP, out) * scale[:, None, :]).reshape(
             kin, out).astype(x.dtype)
         return x @ wde
     # Decode-scale: per-token int8 activations, one batched s8 x s8 MXU
@@ -119,11 +134,24 @@ def _linear4(x: jax.Array, w: Quant4Weight) -> jax.Array:
     xq = jnp.round(xf / jnp.maximum(sx, 1e-12))
     xq = jnp.clip(xq, -127, 127).astype(jnp.int8)
     xg = xq.reshape(m, g, W4_GROUP).transpose(1, 0, 2)       # [g, M, 128]
-    wq = unpack_weight4(w.q).reshape(g, W4_GROUP, out)       # [g, 128, out]
+    wq = unpack_weight4(q).reshape(g, W4_GROUP, out)         # [g, 128, out]
     res = jax.lax.dot_general(xg, wq, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.int32)
-    outv = (res.astype(jnp.float32) * w.scale[:, None, :]).sum(0) * sx
+    outv = (res.astype(jnp.float32) * scale[:, None, :]).sum(0) * sx
     return outv.astype(x.dtype).reshape(*x.shape[:-1], out)
+
+
+def _linear4(x: jax.Array, w: Quant4Weight) -> jax.Array:
+    g, out = w.scale.shape
+    kin = g * W4_GROUP
+    nc = _w4_out_chunks(kin, out)
+    if nc == 1:
+        return _linear4_part(x, w.q, w.scale)
+    oc = out // nc
+    qs = w.q.reshape(kin // 2, nc, oc).transpose(1, 0, 2)    # [nc, kin/2, oc]
+    ss = w.scale.reshape(g, nc, oc).transpose(1, 0, 2)       # [nc, g, oc]
+    ys = jax.lax.map(lambda a: _linear4_part(x, a[0], a[1]), (qs, ss))
+    return jnp.moveaxis(ys, 0, -2).reshape(*x.shape[:-1], out)
 
 
 def linear(x: jax.Array, w) -> jax.Array:

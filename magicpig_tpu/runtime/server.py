@@ -370,7 +370,10 @@ def decode_dense_layer(state: DecodeState, di: int, q: jax.Array,
         state.dense_v[di].dtype), state.dense_len, d)
     state = state.replace(dense_k=tuple_set(state.dense_k, di, dense_k),
                           dense_v=tuple_set(state.dense_v, di, dense_v))
-    pallas_ok = d < 128 and (
+    # d == 128 runs fold=1 natively (bf16 exact / int8 4e-4 vs oracle);
+    # the XLA fallback dequantizes the WHOLE cache to bf16 per step
+    # (2x 200 MB/layer transients at 96K d=128 — the 3B/8B decode OOM).
+    pallas_ok = d <= 128 and (
         use_pallas == "on"
         or (use_pallas == "auto"
             and jax.default_backend() not in ("cpu",)))
