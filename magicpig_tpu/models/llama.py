@@ -201,7 +201,13 @@ class LlamaParams:
 
 
 def init_params(config: ModelConfig, key: jax.Array, max_len: int) -> LlamaParams:
-    """Random-init parameters (bench/testing path when no checkpoint)."""
+    """Random-init parameters (bench/testing path when no checkpoint).
+
+    Quantized configs create-and-quantize each weight leaf in ONE jitted
+    call (XLA fuses the f32 init/round/pack transients), so the full bf16
+    model never exists on the device — an 8B bf16 init (16 GB) cannot fit
+    one chip at all, and even 3B died asynchronously in the eager
+    quantize chain (surfacing as RESOURCE_EXHAUSTED at the next fetch)."""
     from magicpig_tpu.ops.rope import rope_cos_sin
 
     n = config.num_hidden_layers
@@ -210,11 +216,19 @@ def init_params(config: ModelConfig, key: jax.Array, max_len: int) -> LlamaParam
     hkv = config.num_key_value_heads * config.head_dim
     inter = config.intermediate_size
     dt = config.dtype
+    qbits = {"int8": 8, "int4": 4}.get(config.weight_quant, 0)
 
     ks = jax.random.split(key, 10)
 
-    def w(k, shape, fan_in):
-        return (jax.random.normal(k, shape, jnp.float32) * (fan_in ** -0.5)).astype(dt)
+    def w(k, shape, fan_in, quant=True):
+        def make(kk):
+            x = (jax.random.normal(kk, shape, jnp.float32)
+                 * (fan_in ** -0.5)).astype(dt)
+            if qbits and quant:
+                return (quantize_weight4 if qbits == 4
+                        else quantize_weight)(x)
+            return x
+        return jax.jit(make)(k)
 
     layers = LayerParams(
         wq=w(ks[0], (n, h, hq), h),
@@ -227,11 +241,17 @@ def init_params(config: ModelConfig, key: jax.Array, max_len: int) -> LlamaParam
         ln_attn=jnp.ones((n, h), dt),
         ln_mlp=jnp.ones((n, h), dt),
     )
-    embed = w(ks[7], (config.vocab_size, h), h)
-    lm_head = (embed.T if config.tie_word_embeddings
-               else w(ks[8], (h, config.vocab_size), h))
+    embed = w(ks[7], (config.vocab_size, h), h, quant=False)
+    if config.tie_word_embeddings:
+        if qbits:
+            qw = quantize_weight4 if qbits == 4 else quantize_weight
+            lm_head = jax.jit(lambda e: qw(e.T.astype(dt)))(embed)
+        else:
+            lm_head = embed.T
+    else:
+        lm_head = w(ks[8], (h, config.vocab_size), h)
     cos, sin = rope_cos_sin(config, max_len)
-    params = LlamaParams(
+    return LlamaParams(
         embed=embed,
         lm_head=lm_head,
         final_ln=jnp.ones((h,), dt),
@@ -239,10 +259,6 @@ def init_params(config: ModelConfig, key: jax.Array, max_len: int) -> LlamaParam
         cos=cos,
         sin=sin,
     )
-    if config.weight_quant in ("int8", "int4"):
-        params = quantize_params(params,
-                                 bits=4 if config.weight_quant == "int4" else 8)
-    return params
 
 
 def quantize_params(params: LlamaParams, bits: int = 8) -> LlamaParams:
@@ -250,8 +266,13 @@ def quantize_params(params: LlamaParams, bits: int = 8) -> LlamaParams:
     stays exact — it is a gather; a tied lm_head is quantized as its own
     copy, trading a little storage for halving the biggest per-step
     weight read). Stacked [N, in, out] leaves quantize per layer: the
-    int4 scales are grouped along `in`, which the stack preserves."""
-    qw = {8: quantize_weight, 4: quantize_weight4}[bits]
+    int4 scales are grouped along `in`, which the stack preserves.
+
+    Each leaf quantizes in a DONATING jit: the exact original is freed as
+    soon as its quantized form exists, so peak device memory stays at
+    (exact params) + one leaf's transients, not 2x params."""
+    base = {8: quantize_weight, 4: quantize_weight4}[bits]
+    qw = jax.jit(base, donate_argnums=0)
 
     layers = params.layers
     layers = LayerParams(
