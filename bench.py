@@ -238,7 +238,7 @@ def main():
     wanted = args.modes.split(",") + [args.mode]
     # prefill is B=1 by construction
 
-    if args.baseline_tps <= 0 and args.mode != "full":
+    if args.baseline_tps <= 0 and args.mode not in ("full", "prefill"):
         wanted.append("full")
     modes = list(dict.fromkeys(m for m in wanted if m))
 
@@ -262,18 +262,33 @@ def main():
               f"({type(e).__name__}); aborting without burning attempt "
               f"timeouts", file=sys.stderr)
         print(json.dumps({"metric": "decode_throughput", "value": 0,
-                          "unit": "tokens/s/chip", "vs_baseline": 0,
+                          "unit": "tokens/s/chip", "vs_baseline": None,
                           "note": "TPU claim wedged at bench time; "
                                   "measured numbers in BENCHMARKS.md"}))
         return
 
     results = {}
+    skips = {}      # mode -> why no row was recorded (surfaced in the JSON)
+    ceilings = {}   # mode -> analytic tok/s ceiling (sanity bound)
 
     # Env-poisoning signatures (infra flakes, NOT model failures): round 2
     # lost the lsh B=2 row to a TPU_WORKER_HOSTNAMES claim flake and the
     # backoff silently shrank the batch. These retry at the SAME batch.
     INFRA_SIGS = ("TPU_WORKER_HOSTNAMES", "unexpected worker hostname",
                   "Failed to claim", "failed to claim")
+
+    def preflight_healthy():
+        """Quick chip health check (same op as the startup pre-flight)."""
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print((jnp.ones((128,128), jnp.bfloat16) @ "
+                 "jnp.ones((128,128), jnp.bfloat16)).sum())"],
+                capture_output=True, timeout=300, check=True)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            return False
 
     def worker_env():
         """Scrubbed env for worker subprocesses: drop TPU pod-orchestration
@@ -288,18 +303,30 @@ def main():
 
     def measure(mode, weight_quant=None):
         wq = args.weight_quant if weight_quant is None else weight_quant
+        _, pbytes, per_req, _ = analytic_batch(
+            args.model, "block_topk" if mode == "prefill" else mode,
+            args.K, args.L, args.M, args.hbm_gb * 1e9, args.max_batch,
+            weight_quant=wq)
         if mode == "prefill" or args.B > 0:
             B = max(args.B, 1)
         else:
-            B, pbytes, per_req, pad = analytic_batch(
-                args.model, mode, args.K, args.L, args.M,
-                args.hbm_gb * 1e9, args.max_batch, weight_quant=wq)
+            B = analytic_batch(args.model, mode, args.K, args.L, args.M,
+                               args.hbm_gb * 1e9, args.max_batch,
+                               weight_quant=wq)[0]
             print(f"# {mode}: params {pbytes/1e9:.2f} GB, state/req "
-                  f"{per_req/1e9:.2f} GB (pad x{pad}) -> B={B}",
-                  file=sys.stderr)
+                  f"{per_req/1e9:.2f} GB -> B={B}", file=sys.stderr)
+        if mode == "prefill":
+            # FLOP ceiling: ~2*n_params MACs/token on a ~197 Tflop/s chip.
+            n_params = pbytes / {"none": 2.0, "int8": 1.0, "int4": 0.55}[wq]
+            ceilings[mode] = 197e12 / max(2 * n_params, 1)
+        else:
+            # Per-batch-unit HBM ceiling: every decode step must at least
+            # re-read the weights once (x B at the check site).
+            ceilings[mode] = 819e9 / max(pbytes, 1)
         retried = False
         infra_retries = 0
         mosaic_strikes = 0
+        backend_retries = 0
         while B >= 1:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--worker", mode, "--B", str(B)]
@@ -333,6 +360,19 @@ def main():
                          if ln.startswith("WORKER:")), None)
             if line:
                 r = json.loads(line[len("WORKER:"):])
+                ceil = ceilings.get(mode)
+                if ceil and mode != "prefill":
+                    ceil *= B
+                if ceil and r["tps"] > 10 * ceil:
+                    # Row-level sanity bound: a tok/s more than 10x the
+                    # analytic HBM/FLOP ceiling is a timing artifact (the
+                    # 18.8M "tok/s" prefill row of bench_prefill_v2.log),
+                    # not a measurement. Record the skip, not the number.
+                    skips[mode] = (f"implausible {r['tps']:.0f} tok/s "
+                                   f"(> 10x analytic ceiling {ceil:.0f})")
+                    print(f"# {mode}: B={B} REJECTED: {skips[mode]}",
+                          file=sys.stderr)
+                    break
                 results[mode] = (r["tps"], B, r["sparsity"],
                                  r.get("weight_quant", wq))
                 print(f"# {mode}: B={B} -> {r['tps']:.3f} tok/s/chip "
@@ -372,14 +412,50 @@ def main():
                 # sparse-mode fallback ladder still runs after that).
                 mosaic_strikes += 1
                 if mosaic_strikes >= 2:
+                    skips.setdefault(mode, "Mosaic compile failure")
                     print(f"# {mode}: repeated Mosaic compile failure; "
                           f"abandoning mode", file=sys.stderr)
                     break
                 print(f"# {mode}: Mosaic compile failure; one smaller-B "
                       f"attempt before abandoning", file=sys.stderr)
+                B -= 1
+                retried = False
+                continue
+            is_oom = ("RESOURCE_EXHAUSTED" in stderr
+                      and "out of memory" in stderr.lower())
+            if is_oom:
+                if B <= 1:
+                    # A mode whose B=1 does not fit is a capacity fact, not
+                    # a zero-throughput measurement: skip with a note
+                    # (round-3 weak #9 — bench_3b_v2.log recorded a
+                    # value-0 row here).
+                    skips[mode] = (f"B=1 does not fit HBM at this "
+                                   f"model/context (RESOURCE_EXHAUSTED)")
+                    print(f"# {mode}: {skips[mode]}", file=sys.stderr)
+                    break
+                B -= 1
+                retried = False
+                continue
+            if ("FAILED_PRECONDITION" in stderr
+                    or "RESOURCE_EXHAUSTED" in stderr):
+                # 'TPU backend error' class: the round-3 driver run lost
+                # block_topk B=5/4/3 to FAILED_PRECONDITION flakes that a
+                # same-day run at the same batch passed. If the chip still
+                # answers a trivial preflight, nothing about (mode, B)
+                # failed — retry at the SAME batch before shrinking.
+                backend_retries += 1
+                if backend_retries <= 2 and preflight_healthy():
+                    print(f"# {mode}: TPU backend flake with healthy "
+                          f"preflight; retrying B={B} "
+                          f"({backend_retries}/2)", file=sys.stderr)
+                    time.sleep(15 * backend_retries)
+                    continue
+                print(f"# {mode}: backend error persists (or chip "
+                      f"unhealthy); shrinking batch", file=sys.stderr)
             B -= 1
             retried = False
         if mode not in results:
+            skips.setdefault(mode, "no batch fit / all attempts failed")
             print(f"# {mode}: no batch fit", file=sys.stderr)
 
     for mode in modes:
@@ -420,29 +496,47 @@ def main():
                 print(f"# headline: {best_mode} ({best[0]:.1f} tok/s) beats "
                       f"--mode {args.mode} ({flag[0]:.1f})", file=sys.stderr)
                 head_mode, flag = best_mode, best
-    base_tps = (args.baseline_tps if args.baseline_tps > 0
+    # Baseline semantics: --baseline-tps <= 1 means "no in-run baseline
+    # exists" (round-3 weak #6: a 3B run with --baseline-tps 1 emitted
+    # vs_baseline 24.3 against nothing). vs_baseline is null in that case.
+    base_tps = (args.baseline_tps if args.baseline_tps > 1
                 else results.get("full", (0, 0, 0))[0])
     if flag is None:
         print(json.dumps({"metric": "decode_throughput", "value": 0,
-                          "unit": "tokens/s/chip", "vs_baseline": 0}))
+                          "unit": "tokens/s/chip", "vs_baseline": None,
+                          "note": "no mode produced a measurement",
+                          "skipped": skips}))
         return
-    out = {
-        "metric": (f"decode_throughput_{args.model}_ctx{args.P}_"
-                   f"{head_mode}_maxbatch"),
-        "value": round(flag[0], 3),
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(flag[0] / base_tps, 3) if base_tps else 0,
-    }
-    strongest = results.get("full_int8", (0,))[0]
-    if strongest:
-        # Ratio against the strongest dense config this repo supports
-        # (full attention + int8 dense KV at its own max batch) — stricter
-        # than the reference-definition baseline above.
-        out["vs_strongest"] = round(flag[0] / strongest, 3)
+    if head_mode == "prefill":
+        # Prefill tok/s has no decode baseline to ratio against
+        # (round-3 weak #5: category-confused vs_baseline 25.676).
+        out = {
+            "metric": f"prefill_throughput_{args.model}_ctx{args.P}",
+            "value": round(flag[0], 3),
+            "unit": "prefill_tokens/s/chip",
+            "vs_baseline": None,
+        }
+    else:
+        out = {
+            "metric": (f"decode_throughput_{args.model}_ctx{args.P}_"
+                       f"{head_mode}_maxbatch"),
+            "value": round(flag[0], 3),
+            "unit": "tokens/s/chip",
+            "vs_baseline": (round(flag[0] / base_tps, 3) if base_tps
+                            else None),
+        }
+        strongest = results.get("full_int8", (0,))[0]
+        if strongest:
+            # Ratio against the strongest dense config this repo supports
+            # (full attention + int8 dense KV at its own max batch) —
+            # stricter than the reference-definition baseline above.
+            out["vs_strongest"] = round(flag[0] / strongest, 3)
     # Per-mode rows, self-describing (tps, batch, sparsity, weight format).
     out["rows"] = {m: {"tps": round(r[0], 3), "B": r[1],
                        "sparsity": round(r[2], 4), "weight_quant": r[3]}
                    for m, r in sorted(results.items())}
+    if skips:
+        out["skipped"] = skips
     print(json.dumps(out))
 
 

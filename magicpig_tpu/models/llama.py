@@ -64,27 +64,37 @@ class Quant4Weight:
     boundary — it is unpacked in-register inside the graph.
     """
 
-    q: jax.Array       # int8 [..., in//2, out]; byte row r packs input
-    #                    rows 2r (low nibble) and 2r+1 (high), values
-    #                    in [-7, 7] each
+    q: jax.Array       # int8 [..., in//2, out]; group-local half-split:
+    #                    packed row g*64 + j holds input g*128 + j (low
+    #                    nibble) and g*128 + 64 + j (high), values in
+    #                    [-7, 7] each — see ops/pallas/w4_matmul.py for
+    #                    why (no-interleave in-register unpack; TP shard
+    #                    boundaries at group granularity stay consistent)
     scale: jax.Array   # f32 [..., in//128, out]
 
 
 def _pack_nibbles(q: jax.Array) -> jax.Array:
-    """int8 [-7..7] values [..., in, out] -> packed int8 [..., in//2, out]."""
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
-    return ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+    """int8 [-7..7] values [..., in, out] -> packed int8 [..., in//2, out]
+    in the group-local half-split layout (Quant4Weight docstring)."""
+    *lead, kin, out = q.shape
+    qq = q.reshape(*lead, kin // W4_GROUP, 2, W4_GROUP // 2, out)
+    lo = qq[..., 0, :, :]
+    hi = qq[..., 1, :, :]
+    packed = (lo & 0x0F) | (hi << 4)
+    return packed.reshape(*lead, kin // 2, out).astype(jnp.int8)
 
 
 def unpack_weight4(p: jax.Array) -> jax.Array:
     """Packed int8 [..., in//2, out] -> int8 [..., in, out] (sign-extended
-    nibbles). In-graph only; the unpacked form never persists in HBM
-    beyond the consuming matmul's transient."""
+    nibbles, inverse of `_pack_nibbles`). In-graph only; the unpacked form
+    never persists in HBM beyond the consuming matmul's transient."""
+    *lead, kp, out = p.shape
+    half = W4_GROUP // 2
     lo = ((p << 4) >> 4).astype(jnp.int8)    # arithmetic: sign-extends
     hi = (p >> 4).astype(jnp.int8)
-    st = jnp.stack([lo, hi], axis=-2)        # [..., in//2, 2, out]
-    return st.reshape(*p.shape[:-2], p.shape[-2] * 2, p.shape[-1])
+    st = jnp.stack([lo.reshape(*lead, kp // half, half, out),
+                    hi.reshape(*lead, kp // half, half, out)], axis=-3)
+    return st.reshape(*lead, kp * 2, p.shape[-1])
 
 
 def quantize_weight4(w: jax.Array) -> Quant4Weight:
@@ -144,6 +154,16 @@ def _linear4_part(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
 def _linear4(x: jax.Array, w: Quant4Weight) -> jax.Array:
     g, out = w.scale.shape
     kin = g * W4_GROUP
+    m = x.size // kin
+    if m < 512 and jax.default_backend() != "cpu":
+        from magicpig_tpu.ops.pallas.w4_matmul import (w4_block_shapes,
+                                                       w4_matmul)
+        if w4_block_shapes(m, kin, out) is not None:
+            # Decode-scale on TPU: stream the PACKED bytes once, unpack
+            # in-register (no int8 weight transient, no activation
+            # quantization — bf16 x bf16 -> f32 keeps the nibbles exact).
+            y = w4_matmul(x.reshape(m, kin), w.q, w.scale)
+            return y.astype(x.dtype).reshape(*x.shape[:-1], out)
     nc = _w4_out_chunks(kin, out)
     if nc == 1:
         return _linear4_part(x, w.q, w.scale)

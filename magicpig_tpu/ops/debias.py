@@ -45,3 +45,49 @@ def debias_scores(raw_qk: jnp.ndarray, q_norm: jnp.ndarray, k_norm: jnp.ndarray,
     w = collision_weight(cos, K, L)
     scale = 1.0 / jnp.sqrt(jnp.float32(head_dim))
     return raw_qk.astype(jnp.float32) * scale - jnp.log(w + 1e-4)
+
+
+# -- trace-time polynomial debias (round 4) --------------------------------
+# log(w + eps) is a smooth function of cos alone for static (K, L). The
+# exact chain above costs ~60 VPU ops per element (acos, pow-K, pow-(L-1),
+# log) and runs on the FULL [G*fold, rows] tile of the streaming Pallas
+# kernel; a degree-20 polynomial fit evaluates in 20 FMAs (f32 Horner is
+# stable at deg 20; deg-28 power basis blows up). Max fit error 0.014 in
+# log-weight (<1.5% weight ratio) -- far below the sampling noise the
+# debias corrects for, and comparable to the 2e-4-rad in-kernel acos
+# approximation the exact path already accepts.
+
+import functools
+
+import numpy as np
+
+DEBIAS_EPS = 1e-4
+
+
+def exact_log_weight(c: np.ndarray, K: int, L: int) -> np.ndarray:
+    """log(w + eps) with the exact reference formula (numpy, f64)."""
+    p_bit = 1.0 - np.arccos(np.clip(c, -1.0, 1.0)) / np.pi
+    p = p_bit ** K
+    q = 1.0 - p
+    w = 1.0 - q ** (L - 1) * (L * p + q)
+    return np.log(w + DEBIAS_EPS)
+
+
+@functools.lru_cache(maxsize=8)
+def log_weight_poly(K: int, L: int, deg: int = 20) -> tuple[float, ...]:
+    """Power-basis coefficients (low -> high degree) of the Chebyshev fit
+    of log(w + eps) over cos in [-1, 1]. Static per (K, L): computed once
+    at trace time, embedded as kernel constants."""
+    c = np.linspace(-1.0, 1.0, 100001)
+    y = exact_log_weight(c, K, L)
+    ch = np.polynomial.chebyshev.Chebyshev.fit(c, y, deg)
+    coef = ch.convert(kind=np.polynomial.Polynomial).coef
+    return tuple(float(a) for a in coef)
+
+
+def eval_poly(c, coeffs):
+    """Horner evaluation (jax or numpy arrays); c pre-clipped to [-1, 1]."""
+    acc = c * 0 + coeffs[-1]
+    for a in coeffs[-2::-1]:
+        acc = acc * c + a
+    return acc

@@ -58,7 +58,7 @@ def _acos(x):
 def _kernel(q_ref, k_ref, v_ref, ksc_ref, vsc_ref, norm_ref, mask_ref,
             o_ref, lse_ref, cnt_ref, m_ref, l_ref, acc_ref, c_ref, *,
             fold: int, d: int, K: int, L: int, sm_scale: float,
-            quant: bool):
+            quant: bool, debias: str = "exact"):
     c = pl.program_id(2)
     nc = pl.num_programs(2)
 
@@ -100,13 +100,24 @@ def _kernel(q_ref, k_ref, v_ref, ksc_ref, vsc_ref, norm_ref, mask_ref,
     # support this comparison" on vector<..xi8> cmpi) — widen first. The
     # HBM stream stays int8; the widening is in-register.
     sel = mask2.astype(jnp.int32) > 0                   # [GF, rows]
-    cosv = raw / jnp.maximum(qn * kn8, 1e-20)
-    cosv = jnp.clip(cosv, -1.0, 1.0)
-    p_bit = 1.0 - _acos(cosv) / math.pi
-    p_tab = p_bit ** K
-    q_tab = 1.0 - p_tab
-    w = 1.0 - q_tab ** (L - 1) * (L * p_tab + q_tab)
-    s = raw * sm_scale - jnp.log(w + 1e-4)
+    if debias == "none":       # probe-only: bounds the debias VPU cost
+        s = raw * sm_scale
+    else:
+        cosv = raw / jnp.maximum(qn * kn8, 1e-20)
+        cosv = jnp.clip(cosv, -1.0, 1.0)
+        if debias == "poly":
+            # One deg-20 Horner chain replaces acos/pow-K/pow-(L-1)/log
+            # (~60 VPU ops -> 20 FMAs on the full score tile); see
+            # ops/debias.py for the fit and its error bound.
+            from magicpig_tpu.ops.debias import eval_poly, log_weight_poly
+            logw = eval_poly(cosv, log_weight_poly(K, L))
+        else:
+            p_bit = 1.0 - _acos(cosv) / math.pi
+            p_tab = p_bit ** K
+            q_tab = 1.0 - p_tab
+            w = 1.0 - q_tab ** (L - 1) * (L * p_tab + q_tab)
+            logw = jnp.log(w + 1e-4)
+        s = raw * sm_scale - logw
     s = jnp.where(sel, s, _NEG)
 
     # One online-softmax update per grid step; per-head stats reduce the
@@ -173,14 +184,14 @@ def _imask(b, h, c):
 
 @functools.partial(jax.jit, static_argnames=("K", "L", "sm_scale",
                                              "block_tokens", "interpret",
-                                             "batch_split"))
+                                             "batch_split", "debias"))
 def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
                          k_norm: jax.Array, mask: jax.Array,
                          K: int, L: int, sm_scale: float | None = None,
                          block_tokens: int = 65536, interpret: bool = False,
                          k_scale: jax.Array | None = None,
                          v_scale: jax.Array | None = None,
-                         batch_split: bool = False):
+                         batch_split: bool = False, debias: str = "exact"):
     """Streaming masked+debiased attention kernel (stage 2).
 
     mask: [B, Hq, S] bool/int8 (already length-masked). k_centered/v may be
@@ -243,7 +254,7 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
         vsc_f = jnp.zeros((b, hkv, fold, s // fold), jnp.float32)
 
     kernel = functools.partial(_kernel, fold=fold, d=d, K=K, L=L,
-                               sm_scale=scale, quant=quant)
+                               sm_scale=scale, quant=quant, debias=debias)
 
     def call(q2, k2, v2, ksc_f, vsc_f, norm_f, mask_f):
         bb = q2.shape[0]
@@ -303,7 +314,7 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
                      block_tokens: int = 65536, interpret: bool = False,
                      k_scale: jax.Array | None = None,
                      v_scale: jax.Array | None = None,
-                     batch_split: bool = False):
+                     batch_split: bool = False, debias: str = "exact"):
     """Full LSH-sampled decode partial: bit-plane collision scan (XLA) +
     streaming masked attention (Pallas).
 
@@ -322,4 +333,5 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     return lsh_masked_attention(q, k_centered, v, k_norm, mask, K, L,
                                 sm_scale=sm_scale, block_tokens=block_tokens,
                                 interpret=interpret, k_scale=k_scale,
-                                v_scale=v_scale, batch_split=batch_split)
+                                v_scale=v_scale, batch_split=batch_split,
+                                debias=debias)

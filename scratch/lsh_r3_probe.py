@@ -93,9 +93,8 @@ ksc_f = ksc.astype(jnp.float32).reshape(
     B, HKV, S // FOLD, FOLD).transpose(0, 1, 3, 2)
 vsc_f = vsc.astype(jnp.float32).reshape(
     B, HKV, S // FOLD, FOLD).transpose(0, 1, 3, 2)
-planes = jax.vmap(lambda k: build_planes(k.transpose(1, 0, 2), proj, K))(
-    jnp.moveaxis(kf, 1, 2).reshape(B, S, HKV, D).transpose(0, 2, 1, 3)
-    .transpose(0, 2, 1, 3))  # [B, Hkv, L, K, W]
+planes = jax.vmap(lambda k: build_planes(k, proj, K))(
+    jnp.moveaxis(kf, 1, 2))  # keys [B, S, Hkv, D] -> [B, Hkv, L, K, W]
 length = jnp.full((B,), S, jnp.int32)
 
 # dense bf16 baseline

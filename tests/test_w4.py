@@ -164,3 +164,37 @@ def test_w4_param_pspecs_consistent():
     assert str(lw.wq.q.dtype) == "int8"
     # Row-parallel w_down: in=512 -> 4 groups over 4 model shards.
     assert lw.w_down.scale.shape == (cfg.num_hidden_layers, 4, 512)
+
+
+def test_w4_matmul_kernel_matches_dequant():
+    """Pallas packed-nibble matmul (interpret mode) == x @ dequant(W) for
+    every supported block regime: whole-kin (kin//2 <= 1024), blocked kin
+    (1024/512 packed-row steps), multi-out-block, and padded M."""
+    from magicpig_tpu.ops.pallas.w4_matmul import w4_block_shapes, w4_matmul
+
+    rng = np.random.default_rng(7)
+    for m, kin, out in [(1, 512, 384), (3, 2048, 256), (8, 4096, 512),
+                        (5, 3072, 128), (2, 128, 128)]:
+        w = jnp.asarray(rng.standard_normal((kin, out)) / 8, jnp.float32)
+        qw = quantize_weight4(w)
+        x = jnp.asarray(rng.standard_normal((m, kin)), jnp.float32)
+        assert w4_block_shapes(m, kin, out) is not None, (m, kin, out)
+        got = np.asarray(w4_matmul(x.astype(jnp.bfloat16), qw.q, qw.scale,
+                                   interpret=True))
+        g = kin // W4_GROUP
+        wde = (np.asarray(unpack_weight4(qw.q), np.float32).reshape(
+            g, W4_GROUP, out) * np.asarray(qw.scale)[:, None, :]).reshape(
+            kin, out)
+        want = np.asarray(x, np.float32).astype(np.float32) @ wde
+        # bf16 activation rounding is the only error source
+        denom = np.abs(want).max() + 1e-6
+        assert np.abs(got - want).max() / denom < 5e-2, (m, kin, out)
+
+
+def test_w4_matmul_kernel_unsupported_shapes():
+    from magicpig_tpu.ops.pallas.w4_matmul import w4_block_shapes
+
+    assert w4_block_shapes(128, 512, 512) is None      # m too large
+    assert w4_block_shapes(1, 192, 512) is None        # kin not 128-aligned
+    assert w4_block_shapes(1, 512, 192) is None        # out not 128-aligned
+    assert w4_block_shapes(1, 2816 * 2, 512) is None   # kin//2 % 512 != 0
