@@ -21,6 +21,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -28,6 +29,10 @@ def main():
     p.add_argument("--model", type=str, default="llama-tiny")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="HF checkpoint dir (config.json + safetensors)")
+    p.add_argument("--npz", type=str, default=None,
+                   help="from-scratch byte-LM checkpoint "
+                        "(examples/train_ruler_lm.py) — the zero-egress "
+                        "path to a discriminating full-attention score")
     p.add_argument("--tokenizer", type=str, default=None)
     p.add_argument("--tasks", type=str, nargs="*", default=None,
                    help="subset of tasks (default: all 13)")
@@ -65,6 +70,11 @@ def main():
         from magicpig_tpu.models.loader import load_checkpoint
 
         config, params = load_checkpoint(args.checkpoint, max_len)
+    elif args.npz:
+        from train_ruler_lm import load_params, model_config
+
+        config = model_config()
+        params = load_params(args.npz, config, max_len)
     else:
         config, params = preset(args.model), None
 

@@ -281,6 +281,11 @@ class LSHConfig:
     # kernel on TPU (ops/pallas/lsh_decode.py) and pure XLA elsewhere;
     # "on"/"off" force it. The Pallas path currently requires bf16 offload.
     use_pallas: str = "auto"
+    # Fallback: emit one B=1 pallas_call per request in the fused LSH
+    # kernel instead of one batched grid. Only needed if a toolchain
+    # regresses the batched compile (the round-2 remote-compile crash,
+    # fixed by round 4 — results/probe_r4/lsh_scan_96k.log).
+    batch_split: bool = False
     # Offload-region KV storage: "none" keeps the model dtype (bf16);
     # "int8" stores per-row symmetric-quantized K/V with f32 scales —
     # halves the sparse layers' HBM state and doubles effective scoring

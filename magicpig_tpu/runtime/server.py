@@ -469,11 +469,13 @@ def _lsh_partial(state, si, q, projections, lsh):
             state.off_len, lsh.K, lsh.L, interpret=_interp(),
             k_scale=state.off_k_scale[si] if quant else None,
             v_scale=state.off_v_scale[si] if quant else None,
-            # One B=1 pallas_call per request: the batched (B>=2) fused
-            # program crashes this toolchain's remote tpu_compile_helper,
-            # and the split costs only grid re-entry on a kernel that
-            # streams per-request state anyway (ops/pallas/lsh_decode.py).
-            batch_split=b > 1)
+            # Batched (B>=2) single grid: the round-2 remote
+            # tpu_compile_helper crash on the batched fused program is
+            # gone on this round's toolchain (results/probe_r4/
+            # lsh_scan_96k.log: B=2 batched grid compiles+runs), so the
+            # per-request split — which doubled kernel dispatches per
+            # layer at B=2 — is only a fallback (lsh.batch_split).
+            batch_split=lsh.batch_split and b > 1)
         frac = cnt.sum() / jnp.maximum(state.off_len.sum() * hq, 1)
         return out, lse, frac
 

@@ -47,21 +47,24 @@ print(jax.devices(), flush=True)
 rng = np.random.default_rng(0)
 
 
-def scan_time(name, step_fn, qs, bytes_=None, n=NSTEP):
+def scan_time(name, step_fn, qs, consts=(), bytes_=None, n=NSTEP):
+    """consts are passed as jit ARGS: a closed-over device array becomes
+    an embedded constant shipped inside the remote-compile request — the
+    472 MB CSR table blew its body-size limit (HTTP 413)."""
     @jax.jit
-    def run(qs):
+    def run(qs, consts):
         def body(carry, q):
-            out = step_fn(q)
+            out = step_fn(q, *consts)
             return carry + jax.tree.leaves(out)[0].ravel()[0].astype(
                 jnp.float32), None
         total, _ = jax.lax.scan(body, jnp.float32(0), qs)
         return total
     t0 = time.perf_counter()
-    np.asarray(run(qs))
+    np.asarray(run(qs, consts))
     tc = time.perf_counter() - t0
     q2 = qs + jnp.ones((), qs.dtype)
     t0 = time.perf_counter()
-    np.asarray(run(q2))
+    np.asarray(run(q2, consts))
     dt = (time.perf_counter() - t0) / n
     extra = f"  {bytes_/dt/1e9:7.1f} GB/s" if bytes_ else ""
     print(f"{name:58s} {dt*1e3:8.3f} ms{extra}  (compile {tc:.0f}s)",
@@ -85,7 +88,7 @@ starts = jnp.asarray(starts_np)
 qcs = jnp.asarray(rng.integers(0, 1 << K, size=(NSTEP, HQ, L)), jnp.int32)
 
 
-def csr_read(qc):
+def csr_read(qc, table, starts):
     """[HQ, L] buckets -> ([HQ, L, SEG] ids, valid) via one gather."""
     qg = qc.reshape(HKV, G, L)
     st = jnp.take_along_axis(starts, qg.transpose(0, 2, 1), axis=-1)
@@ -100,8 +103,8 @@ def csr_read(qc):
     return ids, valid
 
 
-def csr_mask(qc):
-    ids, valid = csr_read(qc)
+def csr_mask(qc, table, starts):
+    ids, valid = csr_read(qc, table, starts)
     cnt = jnp.zeros((HQ, S), jnp.int32)
     cnt = cnt.at[jnp.arange(HQ)[:, None, None], ids].add(
         valid.astype(jnp.int32), mode="drop")
@@ -109,9 +112,9 @@ def csr_mask(qc):
 
 
 scan_time(f"CSR 5a: {HQ}x{L} bucket-segment gather (SEG={SEG})",
-          csr_read, qcs, bytes_=HQ * L * SEG * 4)
+          csr_read, qcs, consts=(table, starts), bytes_=HQ * L * SEG * 4)
 scan_time("CSR 5a+5b: gather + scatter-add to >=2 mask",
-          csr_mask, qcs, bytes_=HQ * L * SEG * 4)
+          csr_mask, qcs, consts=(table, starts), bytes_=HQ * L * SEG * 4)
 
 # The plane scan these would replace (same harness, same chip session).
 proj = make_hash_projections(jax.random.key(0), D, K, L)
@@ -121,8 +124,8 @@ planes = jax.vmap(lambda k: build_planes(k, proj, K))(
 qs = jnp.asarray(rng.standard_normal((NSTEP, B, HQ, D)), jnp.float32)
 PLANE_BYTES = B * HKV * L * K * (S // 32) * 4
 scan_time("bit-plane collision scan (the incumbent)",
-          lambda q: collision_words(hash_bits(q, proj, K), planes),
-          qs, bytes_=PLANE_BYTES)
+          lambda q, pl_, pr: collision_words(hash_bits(q, pr, K), pl_),
+          qs, consts=(planes, proj), bytes_=PLANE_BYTES)
 
 print(f"\nstate: CSR id tables {HKV * L * S * 4 / 1e6:.0f} MB/layer vs "
       f"planes {PLANE_BYTES / 1e6:.0f} MB/layer", flush=True)

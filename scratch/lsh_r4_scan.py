@@ -103,52 +103,41 @@ vsc_fold = vsc.astype(jnp.float32).reshape(
 KV_BYTES = 2 * B * HKV * S * D          # int8 K+V
 PLANE_BYTES = B * HKV * L * K * (S // 32) * 4
 
-# a. dense competitor
-scan_time("flash_decode int8 (dense per-layer)",
-          lambda q: flash_decode(q, k8df, v8f, length,
-                                 k_scale=sc_fold, v_scale=vsc_fold),
-          qs, bytes_=KV_BYTES)
-scan_time("flash_decode bf16 (dense baseline)",
-          lambda q: flash_decode(q, kbf, vbf, length), qs,
-          bytes_=2 * KV_BYTES)
-
-# b/c. scan + mask glue
-scan_time("collision_words (planes)",
-          lambda q: collision_words(hash_bits(q, proj, K), planes),
-          qs, bytes_=PLANE_BYTES)
-
-
-def mask_glue(q):
-    words = collision_words(hash_bits(q, proj, K), planes)
-    words = words & valid_words(length, S // 32)[:, None]
-    return unpack_words(words, S)
-
-
-scan_time("collision + valid + unpack -> bool mask", mask_glue, qs,
-          bytes_=PLANE_BYTES)
+# a. dense competitor, block sweep: is flash_decode grid-step-bound at
+# its 8192 default? (bf16 and int8 took the SAME ~0.6 ms despite 2x the
+# bytes — consistent with per-step cost, not bandwidth)
+for blk in (8192, 16384, 32768):
+    scan_time(f"flash_decode int8 blk={blk}",
+              lambda q, _b=blk: flash_decode(q, k8df, v8f, length,
+                                             block_tokens=_b,
+                                             k_scale=sc_fold,
+                                             v_scale=vsc_fold),
+              qs, bytes_=KV_BYTES)
+for blk in (8192, 16384, 32768):
+    scan_time(f"flash_decode bf16 blk={blk}",
+              lambda q, _b=blk: flash_decode(q, kbf, vbf, length,
+                                             block_tokens=_b),
+              qs, bytes_=2 * KV_BYTES)
 
 # d. attend alone (fixed mask -> glue hoisted out of the scan)
 mask_fixed = jnp.asarray(rng.random((B, HQ, S)) < 0.02)
-for debias in ("exact", "poly", "none"):
-    for blk in (16384, 32768, 65536):
-        try:
-            dt = scan_time(
-                f"lsh_masked_attention int8 debias={debias} blk={blk}",
-                lambda q, _b=blk, _d=debias: lsh_masked_attention(
-                    q, k8f, v8f, k_norm, mask_fixed, K, L, block_tokens=_b,
-                    k_scale=ksc_f, v_scale=vsc_f, debias=_d),
-                qs, bytes_=KV_BYTES)
-        except Exception as e:  # noqa: BLE001
-            print(f"debias={debias} blk={blk}: {type(e).__name__}: "
-                  f"{str(e)[:160]}", flush=True)
+for blk in (16384, 32768, 65536):
+    try:
+        scan_time(
+            f"lsh_masked_attention int8 blk={blk}",
+            lambda q, _b=blk: lsh_masked_attention(
+                q, k8f, v8f, k_norm, mask_fixed, K, L, block_tokens=_b,
+                k_scale=ksc_f, v_scale=vsc_f),
+            qs, bytes_=KV_BYTES)
+    except Exception as e:  # noqa: BLE001
+        print(f"blk={blk}: {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 # e. fused end to end
-for debias in ("exact", "poly"):
-    scan_time(f"lsh_fused_decode (scan+glue+attend) debias={debias}",
-              lambda q, _d=debias: lsh_fused_decode(
-                  q, k8f, v8f, k_norm, planes, hash_bits(q, proj, K),
-                  length, K, L, k_scale=ksc_f, v_scale=vsc_f, debias=_d),
-              qs, bytes_=KV_BYTES + PLANE_BYTES)
+scan_time("lsh_fused_decode (scan+glue+attend)",
+          lambda q: lsh_fused_decode(
+              q, k8f, v8f, k_norm, planes, hash_bits(q, proj, K),
+              length, K, L, k_scale=ksc_f, v_scale=vsc_f),
+          qs, bytes_=KV_BYTES + PLANE_BYTES)
 
 # f. B=2 batched single-grid compile retest
 print("B=2 batched single-grid compile attempt...", flush=True)
