@@ -73,6 +73,8 @@ SHAPES = [
     ("1b qkv+o (2048->2048)", 8, 2048, 2048),
     ("1b gate/up (2048->8192)", 8, 2048, 8192),
     ("1b down (8192->2048)", 8, 8192, 2048),
+    ("8b wq/wo (4096->4096)", 1, 4096, 4096),
+    ("8b wk/wv (4096->1024)", 1, 4096, 1024),
     ("8b gate/up (4096->14336)", 1, 4096, 14336),
     ("8b down (14336->4096)", 1, 14336, 4096),
     ("8b lm_head (4096->128256)", 1, 4096, 128256),
