@@ -184,8 +184,12 @@ def analytic_batch(model, mode, K, L, M, hbm_budget, max_b,
     # All caches store token-folded layouts (lane-perfect, no XLA padding),
     # so the analytic bound is tight up to the decode-step workspace
     # (materialized scores etc.) — which is a whole-graph transient, not a
-    # per-request cost; OOM backoff still guards the rest.
-    workspace = 0.8e9 if mode.startswith("block_topk") else 0.2e9
+    # per-request cost; OOM backoff still guards the rest. lsh needs
+    # fill-time headroom for the per-chunk plane-build transients: the
+    # round-4 B=3 attempt (13.0 GB resident) wedged in fill for 25 min
+    # (results/probe_r4/engine_lsh_b3.log) while B=2 filled in 8.
+    workspace = (0.8e9 if mode.startswith("block_topk")
+                 else 1.2e9 if mode == "lsh" else 0.2e9)
     b = int((hbm_budget - pbytes - workspace) // per_req)
     return min(max(b, 1), max_b), pbytes, per_req, 1
 
