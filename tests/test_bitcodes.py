@@ -103,3 +103,38 @@ def test_valid_words():
         bits = bits.reshape(-1)
         expect = (np.arange(96) < ln).astype(bits.dtype)
         np.testing.assert_array_equal(bits, expect)
+
+
+def test_collision_words_pallas_bit_exact():
+    """Pallas >=2-of-L scan (interpret mode) == the XLA fori-loop scan."""
+    import jax
+
+    from magicpig_tpu.ops.pallas.collide import collision_words_pallas
+
+    rng = np.random.default_rng(11)
+    B, HKV, G, L, K, W = 2, 2, 4, 13, 5, 16
+    q_bits = jnp.asarray(rng.integers(0, 2, (B, HKV * G, L, K)), jnp.int32)
+    planes = jnp.asarray(
+        rng.integers(-(2**31), 2**31 - 1, (B, HKV, L, K, W)), jnp.int32)
+    want = np.asarray(collision_words(q_bits, planes))
+    got = np.asarray(collision_words_pallas(q_bits, planes, word_block=8,
+                                            interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_collision_words_pallas_bit_exact_production_shape():
+    """Production L=150/K=10 shape (odd L exercises the tree's leftover
+    carry) at a small W."""
+    import jax
+
+    from magicpig_tpu.ops.pallas.collide import collision_words_pallas
+
+    rng = np.random.default_rng(12)
+    B, HKV, G, L, K, W = 1, 2, 4, 150, 10, 32
+    q_bits = jnp.asarray(rng.integers(0, 2, (B, HKV * G, L, K)), jnp.int32)
+    planes = jnp.asarray(
+        rng.integers(-(2**31), 2**31 - 1, (B, HKV, L, K, W)), jnp.int32)
+    want = np.asarray(collision_words(q_bits, planes))
+    got = np.asarray(collision_words_pallas(q_bits, planes, word_block=16,
+                                            interpret=True))
+    np.testing.assert_array_equal(got, want)
