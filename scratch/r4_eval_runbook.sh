@@ -44,7 +44,7 @@ else
   echo "=== no ruler_lm.npz; skipping RULER" | tee -a $R/runbook.log
 fi
 
-KEY_ESTS="full,lsh_K10L150,lsh_K10L150_int8,quest_4pct,block_topk4_flagship,topk_2pct"
+KEY_ESTS="full,lsh_K10L150,quest_4pct,block_topk4_flagship,topk_2pct"
 
 # 2. 16K curriculum stage (shortened: the committed ckpt saw <= 8K).
 if [ ! -f data/needle_ckpt_16k.npz ]; then
@@ -57,19 +57,19 @@ CK16=data/needle_ckpt_16k.npz
 
 # 3a. 2-needle standard rows at 8192/16384, n=500.
 run 7200 std_long python examples/estimator_accuracy.py --ckpt $CK16 \
-    --contexts 8192,16384 --samples 500 --needles 2 \
+    --contexts 8192,16384 --samples 300 --needles 2 \
     --estimators "$KEY_ESTS" --out results/accuracy_r4
 # 3b. 1-needle high-ceiling probe, n=500.
 run 7200 probe_n1 python examples/estimator_accuracy.py --ckpt $CK16 \
-    --contexts 8192,16384 --samples 500 --needles 1 \
+    --contexts 8192,16384 --samples 300 --needles 1 \
     --estimators "$KEY_ESTS" --out results/accuracy_r4
 # 3c. multiquery shape, n=300 at 8192.
 run 5400 mq python examples/estimator_accuracy.py --ckpt $CK16 \
-    --contexts 8192 --samples 300 --needles 2 --task multiquery \
+    --contexts 8192 --samples 200 --needles 2 --task multiquery \
     --estimators "$KEY_ESTS" --out results/accuracy_r4
 # 3d. hop (vt-analogue) shape, n=300 at 8192.
 run 5400 hop python examples/estimator_accuracy.py --ckpt $CK16 \
-    --contexts 8192 --samples 300 --needles 2 --task hop \
+    --contexts 8192 --samples 200 --needles 2 --task hop \
     --estimators "$KEY_ESTS" --out results/accuracy_r4
 
 echo "R4 EVAL RUNBOOK DONE $(date +%H:%M:%S)" | tee -a $R/runbook.log
