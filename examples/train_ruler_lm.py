@@ -165,6 +165,7 @@ def main():
                    np.where(valid, args.lm_weight, 0.0)).astype(np.float32)
     print(f"pool ready ({time.time() - t0:.0f}s); training", flush=True)
 
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     for i in range(args.steps):
         sel = rng.integers(0, args.pool, size=args.batch)
         params, opt_state, loss, acc = step(
@@ -172,7 +173,10 @@ def main():
         if i % 100 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.4f} answer-acc "
                   f"{float(acc):.3f} ({time.time() - t0:.0f}s)", flush=True)
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        if i and i % 500 == 0:
+            # Tunnel dispatches can wedge mid-run (round-4: a 15-min hang
+            # at step 2000 lost the whole run) — keep a rolling partial.
+            save_params(params, args.out + ".partial")
     save_params(params, args.out)
     print(f"saved {args.out}")
 
