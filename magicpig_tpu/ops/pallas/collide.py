@@ -63,9 +63,14 @@ def _kernel(qs_ref, pl_ref, o_ref, *, L: int, K: int, g: int):
 
 @functools.partial(jax.jit, static_argnames=("word_block", "interpret"))
 def collision_words_pallas(q_bits: jax.Array, planes: jax.Array,
-                           word_block: int = 512,
+                           word_block: int = 128,
                            interpret: bool = False) -> jax.Array:
-    """Drop-in Pallas version of `bitcodes.collision_words` (module doc)."""
+    """Drop-in Pallas version of `bitcodes.collision_words` (module doc).
+
+    word_block=128 keeps the kernel's scoped-VMEM stack under the 16 MB
+    limit: the G-unrolled [L, wblk] int32 accumulator chains allocate
+    ~38 MB at wblk=512 on real hardware (interpret mode cannot see this;
+    results/probe_r4/collide_scan.log)."""
     b, hq, L, K = q_bits.shape
     hkv, W = planes.shape[1], planes.shape[-1]
     g = hq // hkv
