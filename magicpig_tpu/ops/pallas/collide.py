@@ -63,14 +63,9 @@ def _kernel(qs_ref, pl_ref, o_ref, *, L: int, K: int, g: int):
 
 @functools.partial(jax.jit, static_argnames=("word_block", "interpret"))
 def collision_words_pallas(q_bits: jax.Array, planes: jax.Array,
-                           word_block: int = 128,
+                           word_block: int = 512,
                            interpret: bool = False) -> jax.Array:
-    """Drop-in Pallas version of `bitcodes.collision_words` (module doc).
-
-    word_block=128 keeps the kernel's scoped-VMEM stack under the 16 MB
-    limit: the G-unrolled [L, wblk] int32 accumulator chains allocate
-    ~38 MB at wblk=512 on real hardware (interpret mode cannot see this;
-    results/probe_r4/collide_scan.log)."""
+    """Drop-in Pallas version of `bitcodes.collision_words` (module doc)."""
     b, hq, L, K = q_bits.shape
     hkv, W = planes.shape[1], planes.shape[-1]
     g = hq // hkv
@@ -91,7 +86,12 @@ def collision_words_pallas(q_bits: jax.Array, planes: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, W), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # The G-unrolled [L, wblk] accumulator chains need ~17-38 MB
+            # of scoped VMEM stack; the Mosaic default cap is 16 MB (the
+            # chip has far more) — raise it rather than shrinking blocks,
+            # which barely moves the stack size (collide_scan.log).
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(qsel, planes)
     return out.reshape(b, hq, W)
