@@ -323,16 +323,13 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     Returns (out [B,Hq,d] f32, lse [B,Hq] f32, sampled [B,Hq] f32 counts).
     """
     s = (k_centered.shape[2] * k_centered.shape[3]) // q.shape[-1]
-    # Round-4: the XLA fori-loop scan streams planes at ~180 GB/s
-    # effective (0.83 ms/layer at 96K) because every one of the L
-    # iterations re-touches the once/twice accumulators; the Pallas scan
-    # (ops/pallas/collide.py) keeps them in registers and pays only the
-    # planes stream. Bit-exact vs the XLA scan (tests/test_bitcodes.py).
-    if interpret:
-        words = collision_words(q_bits, planes)          # [B, Hq, W]
-    else:
-        from magicpig_tpu.ops.pallas.collide import collision_words_pallas
-        words = collision_words_pallas(q_bits, planes)
+    # The XLA fori-loop scan stays the production path: the Pallas scan
+    # (ops/pallas/collide.py, bit-exact on hardware) measured 1.65
+    # ms/layer at 96K vs XLA's 0.83 (results/probe_r4/collide_scan.log)
+    # — the G-unrolled XOR/AND chains + >=2-of-L tree cost more VPU time
+    # than the accumulator re-touches they avoid. Measured negative;
+    # kept for the record.
+    words = collision_words(q_bits, planes)              # [B, Hq, W]
     words = words & valid_words(length, s // 32)[:, None]
     mask = unpack_words(words, s)                        # [B, Hq, S] bool
     return lsh_masked_attention(q, k_centered, v, k_norm, mask, K, L,
