@@ -29,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from magicpig_tpu.ops.debias import debias_scores
 
@@ -82,6 +83,17 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     hkv = k.shape[2]
     g = hq // hkv
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+
+    if differentiable and not return_lse:
+        # Training path: custom-VJP flash backward. The plain lax.scan
+        # autodiff saves every per-block score tensor across the scan —
+        # [nblk, B, Hkv, G, Sq, Bk] f32, 68.7 GB at B=8/S=16K — and OOMs
+        # (results/accuracy_r4/train_16k.log). The custom backward
+        # recomputes scores per block from (q, k, lse) instead, the
+        # standard FlashAttention-2 recipe.
+        return _flash_prefill_train(block_k, scale, window, q, k, v,
+                                    jnp.asarray(q_offset, jnp.int32),
+                                    jnp.asarray(kv_len, jnp.int32))
 
     # [B, Hkv, G, Sq, d]
     qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, g, sq, d)
@@ -143,6 +155,114 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         lse = jnp.where(l > 0, m + jnp.log(_safe_denom(l)), -jnp.inf)
         return out, lse.reshape(b, hq, sq).transpose(0, 2, 1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Training flash attention (custom VJP)
+# ---------------------------------------------------------------------------
+
+
+def _fp_mask(q_pos, k_pos, kv_len, window):
+    mask = (k_pos[None, :] <= q_pos[:, None]) & (k_pos[None, :] < kv_len)
+    if window is not None:
+        mask = mask & (q_pos[:, None] - k_pos[None, :] < window)
+    return mask  # [Sq, Bk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash_prefill_train(block_k, scale, window, q, k, v, q_offset, kv_len):
+    out, _ = _fp_train_fwd(block_k, scale, window, q, k, v, q_offset, kv_len)
+    return out
+
+
+def _fp_train_fwd(block_k, scale, window, q, k, v, q_offset, kv_len):
+    b, sq, hq, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, g, sq, d)
+    q_pos = q_offset + jnp.arange(sq)
+    num_blocks = (skv + block_k - 1) // block_k
+
+    def body(carry, blk):
+        m, l, acc = carry
+        start = blk * block_k
+        kb = jax.lax.dynamic_slice_in_dim(k, start, block_k, 1).transpose(0, 2, 1, 3)
+        vb = jax.lax.dynamic_slice_in_dim(v, start, block_k, 1).transpose(0, 2, 1, 3)
+        k_pos = start + jnp.arange(block_k)
+        s = jnp.einsum("bhgqd,bhkd->bhgqk", qh, kb,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(_fp_mask(q_pos, k_pos, kv_len, window)[None, None, None],
+                      s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+        p = jnp.exp(s - m_safe[..., None])
+        alpha = jnp.exp(jnp.where(jnp.isneginf(m), 0.0, m - m_safe))
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhgqk,bhkd->bhgqd", p.astype(vb.dtype), vb,
+            preferred_element_type=jnp.float32)
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((b, hkv, g, sq), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, hkv, g, sq), jnp.float32)
+    acc0 = jnp.zeros((b, hkv, g, sq, d), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(num_blocks))
+    out = (acc / _safe_denom(l)[..., None]).reshape(b, hq, sq, d)
+    out = out.transpose(0, 2, 1, 3).astype(q.dtype)
+    lse = jnp.where(l > 0, m + jnp.log(_safe_denom(l)), _NEG_INF)  # [B,Hkv,G,Sq]
+    return out, (q, k, v, out, lse, q_offset, kv_len)
+
+
+def _fp_train_bwd(block_k, scale, window, res, do):
+    q, k, v, out, lse, q_offset, kv_len = res
+    b, sq, hq, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    if skv % block_k:
+        raise ValueError(f"flash backward requires skv % block_k == 0 "
+                         f"(skv={skv}, block_k={block_k})")
+    qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, g, sq, d)
+    doh = do.transpose(0, 2, 1, 3).reshape(b, hkv, g, sq, d).astype(jnp.float32)
+    outh = out.transpose(0, 2, 1, 3).reshape(b, hkv, g, sq, d).astype(jnp.float32)
+    delta = jnp.sum(doh * outh, axis=-1)  # [B,Hkv,G,Sq]
+    lse_safe = jnp.where(jnp.isneginf(lse), 0.0, lse)
+    q_pos = q_offset + jnp.arange(sq)
+    num_blocks = skv // block_k
+    kdt = k.dtype
+
+    def body(dq, blk):
+        start = blk * block_k
+        kb = jax.lax.dynamic_slice_in_dim(k, start, block_k, 1).transpose(0, 2, 1, 3)
+        vb = jax.lax.dynamic_slice_in_dim(v, start, block_k, 1).transpose(0, 2, 1, 3)
+        k_pos = start + jnp.arange(block_k)
+        s = jnp.einsum("bhgqd,bhkd->bhgqk", qh, kb,
+                       preferred_element_type=jnp.float32) * scale
+        mask = _fp_mask(q_pos, k_pos, kv_len, window)[None, None, None]
+        # exp(-inf - 0) = 0 covers masked slots; lse_safe keeps the
+        # all-masked rows (lse == -inf) NaN-free.
+        p = jnp.where(mask, jnp.exp(s - lse_safe[..., None]), 0.0)
+        dvb = jnp.einsum("bhgqk,bhgqd->bhkd", p.astype(doh.dtype), doh,
+                         preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bhgqd,bhkd->bhgqk", doh, vb,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[..., None]) * scale
+        dqb = jnp.einsum("bhgqk,bhkd->bhgqd", ds.astype(kdt), kb,
+                         preferred_element_type=jnp.float32)
+        dkb = jnp.einsum("bhgqk,bhgqd->bhkd", ds.astype(kdt), qh,
+                         preferred_element_type=jnp.float32)
+        return dq + dqb, (dkb, dvb)
+
+    dq0 = jnp.zeros((b, hkv, g, sq, d), jnp.float32)
+    dq, (dks, dvs) = jax.lax.scan(body, dq0, jnp.arange(num_blocks))
+    dq = dq.reshape(b, hq, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)
+    # [nblk, B, Hkv, Bk, d] -> [B, Skv, Hkv, d]
+    dk = dks.transpose(1, 0, 3, 2, 4).reshape(b, skv, hkv, d).astype(k.dtype)
+    dv = dvs.transpose(1, 0, 3, 2, 4).reshape(b, skv, hkv, d).astype(v.dtype)
+    zero_i = np.zeros((), jax.dtypes.float0)
+    return dq, dk, dv, zero_i, zero_i
+
+
+_flash_prefill_train.defvjp(_fp_train_fwd, _fp_train_bwd)
 
 
 # ---------------------------------------------------------------------------

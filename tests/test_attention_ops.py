@@ -235,3 +235,100 @@ def test_masked_plus_dense_merge_approximates_full_attention():
         expect = _softmax_attn(q[0, h][None], k_all_c[0, h], v_all[0, h], scale)[0]
         err = np.linalg.norm(merged[0, h] - expect) / np.linalg.norm(expect)
         assert err < 0.15, f"head {h}: sampled-attention relative error {err}"
+
+
+def _dense_causal_loss(q, k, v, q_offset, kv_len, window=None):
+    """Dense differentiable reference for the custom-VJP training path."""
+    b, sq, hq, d = q.shape
+    skv, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, g, sq, d)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhgqd,bhkd->bhgqk", qh, kh) / jnp.sqrt(float(d))
+    q_pos = q_offset + jnp.arange(sq)
+    k_pos = jnp.arange(skv)
+    mask = (k_pos[None, :] <= q_pos[:, None]) & (k_pos[None, :] < kv_len)
+    if window is not None:
+        mask = mask & (q_pos[:, None] - k_pos[None, :] < window)
+    s = jnp.where(mask[None, None, None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(jnp.isnan(p), 0.0, p)  # fully-masked rows
+    o = jnp.einsum("bhgqk,bhkd->bhgqd", p, vh)
+    return o.reshape(b, hq, sq, d).transpose(0, 2, 1, 3)
+
+
+def test_flash_prefill_custom_vjp_grads():
+    """differentiable=True grads (custom VJP, chunked backward) must match
+    autodiff of the dense reference — incl. GQA, a causal offset, a partial
+    kv_len, and a weighted loss so do varies per position."""
+    rng = np.random.default_rng(7)
+    B, Sq, Hq, Hkv, d = 2, 8, 4, 2, 16
+    skv, q_offset, kv_len = 32, 20, 26
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, skv, Hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, skv, Hkv, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(B, Sq, Hq, d)), jnp.float32)
+
+    def loss_fast(q, k, v):
+        o = flash_prefill(q, k, v, jnp.int32(q_offset), jnp.int32(kv_len),
+                          block_k=8, differentiable=True)
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_dense_causal_loss(q, k, v, q_offset, kv_len) * w)
+
+    out_fast = loss_fast(q, k, v)
+    out_ref = loss_ref(q, k, v)
+    np.testing.assert_allclose(float(out_fast), float(out_ref), rtol=1e-5)
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_flash_prefill_custom_vjp_grads_window():
+    """Same with a sliding window active (fully-masked early rows exist)."""
+    rng = np.random.default_rng(8)
+    B, Sq, Hq, Hkv, d = 1, 16, 2, 2, 8
+    skv = 16
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, skv, Hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, skv, Hkv, d)), jnp.float32)
+
+    def loss_fast(q, k, v):
+        o = flash_prefill(q, k, v, jnp.int32(0), jnp.int32(16), block_k=8,
+                          window=4, differentiable=True)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_dense_causal_loss(q, k, v, 0, 16, window=4) ** 2)
+
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_flash_prefill_custom_vjp_under_jit_and_checkpoint():
+    """The trainer wraps the layer in jax.checkpoint under jit — the VJP
+    must survive remat (float0 cotangents for the int operands)."""
+    rng = np.random.default_rng(9)
+    B, Sq, Hq, Hkv, d = 1, 8, 2, 1, 8
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Sq, Hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Sq, Hkv, d)), jnp.float32)
+
+    @jax.jit
+    def loss(q, k, v):
+        @jax.checkpoint
+        def inner(q):
+            o = flash_prefill(q, k, v, jnp.int32(0), jnp.int32(Sq),
+                              block_k=8, differentiable=True)
+            return jnp.sum(o ** 2)
+        return inner(q)
+
+    g = jax.grad(loss)(q, k, v)
+    assert np.isfinite(np.asarray(g)).all()
