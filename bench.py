@@ -242,7 +242,10 @@ def main():
     wanted = args.modes.split(",") + [args.mode]
     # prefill is B=1 by construction
 
-    if args.baseline_tps <= 0 and args.mode not in ("full", "prefill"):
+    # Same threshold as the use site (vs_baseline uses baseline_tps only
+    # when > 1): for 0 < baseline_tps <= 1 a fresh full row must still be
+    # measured or vs_baseline would silently become null.
+    if args.baseline_tps <= 1 and args.mode not in ("full", "prefill"):
         wanted.append("full")
     modes = list(dict.fromkeys(m for m in wanted if m))
 
@@ -282,14 +285,18 @@ def main():
                   "Failed to claim", "failed to claim")
 
     def preflight_healthy():
-        """Quick chip health check (same op as the startup pre-flight)."""
+        """Quick chip health check (same op as the startup pre-flight).
+        Runs under the scrubbed worker env: a poisoned orchestration var
+        must not make a healthy chip look wedged (the workers it gates run
+        scrubbed too)."""
         try:
             subprocess.run(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp; "
                  "print((jnp.ones((128,128), jnp.bfloat16) @ "
                  "jnp.ones((128,128), jnp.bfloat16)).sum())"],
-                capture_output=True, timeout=300, check=True)
+                capture_output=True, timeout=300, check=True,
+                env=worker_env())
             return True
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
             return False

@@ -203,7 +203,10 @@ def main():
     # so a crash keeps everything finished so far.
     if not os.path.exists(csv_path):
         with open(csv_path, "w") as f:
-            f.write("context,estimator,accuracy,avg_sparsity\n")
+            # `n` makes each row carry its own statistical weight (±1.96 *
+            # sqrt(acc*(1-acc)/n) binomial CI) — a reviewer must be able to
+            # tell an n=150 row from an n=500 row without reading prose.
+            f.write("context,estimator,accuracy,avg_sparsity,n\n")
 
     for ctx in contexts:
         samples = []
@@ -240,7 +243,8 @@ def main():
             spars = llm.avg_sparsity_since(snap)
             rows.append((ctx, name, acc, spars))
             with open(csv_path, "a") as f:
-                f.write(f"{ctx},{name}{suffix},{acc:.4f},{spars:.4f}\n")
+                f.write(f"{ctx},{name}{suffix},{acc:.4f},{spars:.4f},"
+                        f"{total}\n")
             print(f"ctx={ctx} {name}{suffix}: acc={acc:.3f} "
                   f"sparsity={spars:.4f} ({time.time() - t0:.0f}s)",
                   flush=True)

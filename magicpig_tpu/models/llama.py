@@ -155,7 +155,7 @@ def _linear4(x: jax.Array, w: Quant4Weight) -> jax.Array:
     g, out = w.scale.shape
     kin = g * W4_GROUP
     m = x.size // kin
-    if m < 512 and jax.default_backend() != "cpu":
+    if m < 512 and jax.default_backend() == "tpu":
         from magicpig_tpu.ops.pallas.w4_matmul import (w4_block_shapes,
                                                        w4_matmul)
         if w4_block_shapes(m, kin, out) is not None:
