@@ -116,6 +116,130 @@ def valid_words(lengths: jax.Array, w: int) -> jax.Array:
     return jnp.where(base + WORD <= lengths[:, None], full, partial)
 
 
+# ---------------------------------------------------------------------------
+# Block-striped fold-major plane layout (the fused scan+attend kernel's form)
+# ---------------------------------------------------------------------------
+#
+# The flat layout above puts token t at word t//32 bit t%32. Extracting a
+# per-token mask from that inside a Pallas kernel needs per-lane variable
+# shifts and cross-lane gathers. The BLOCKED layout permutes tokens so the
+# extraction is 32 static shift/ANDs per block:
+#
+#   * tokens are grouped into blocks of `blk` (the attend kernel's grid
+#     step); words are block-major: word w_global = c*wb + w, wb = blk//32;
+#   * within block c, tokens are ordered FOLD-MAJOR (the layout the folded
+#     int8 cache streams give the kernel): token t = c*blk + r*fold + f has
+#     local id m = f*rows + r (rows = blk//fold);
+#   * bit j of word (c, w) = local id m = j*wb + w.
+#
+# So bit j of the per-block match words [G, wb] is a CONTIGUOUS run of wb
+# fold-major token slots — `(words >> j) & 1` peels the mask off one
+# lane-aligned chunk at a time, no gathers. The flat layout is the special
+# case blk=32, fold=1. `collision_words` is layout-agnostic (words are
+# words); only pack/unpack/valid change.
+
+
+def plane_block(off_cap: int, fold: int, max_block: int = 32768) -> int:
+    """Block size for the blocked plane layout: the largest divisor of
+    `off_cap` that is <= max_block and a multiple of fold*32, preferring
+    multiples of 4096 (wb = blk/32 lane-aligned to 128 — the shapes the
+    fused kernel's lane-concat extraction wants)."""
+    best = 0
+    for blk in range(min(off_cap, max_block), 0, -1):
+        if off_cap % blk or blk % (fold * WORD):
+            continue
+        if blk % 4096 == 0:
+            return blk
+        best = best or blk
+    return best
+
+
+def pack_bitplanes_blocked(bits: jax.Array, blk: int, fold: int) -> jax.Array:
+    """Pack sign bits into the blocked layout (see module comment).
+
+    bits: [..., S, L, K] (bool/0-1), S % blk == 0. Returns
+    [..., L, K, S//32] int32, words block-major."""
+    *lead, s, L, K = bits.shape
+    rows, wb = blk // fold, blk // WORD
+    nb = s // blk
+    b = bits.astype(jnp.int32).reshape(*lead, nb, rows, fold, L, K)
+    b = jnp.swapaxes(b, -4, -3)                 # [..., nb, fold, rows, L, K]
+    b = b.reshape(*lead, nb, WORD, wb, L, K)    # m = f*rows+r -> (j, w)
+    shifts = jnp.arange(WORD, dtype=jnp.int32).reshape(
+        (1,) * len(lead) + (1, WORD, 1, 1, 1))
+    words = jnp.sum(b << shifts, axis=-4)       # [..., nb, wb, L, K]
+    words = jnp.moveaxis(words, (-2, -1), (-4, -3))  # [..., L, K, nb, wb]
+    return words.reshape(*lead, L, K, nb * wb)
+
+
+def unpack_words_blocked(words: jax.Array, blk: int, fold: int,
+                         seq_len: int) -> jax.Array:
+    """Blocked [..., W] int32 -> token-order bool [..., seq_len]."""
+    *lead, w_total = words.shape
+    rows, wb = blk // fold, blk // WORD
+    nb = w_total // wb
+    shifts = jnp.arange(WORD, dtype=jnp.int32)
+    bits = (words.reshape(*lead, nb, wb)[..., None] >> shifts) & 1
+    bits = jnp.swapaxes(bits, -1, -2)           # [..., nb, 32(j), wb]
+    bits = bits.reshape(*lead, nb, fold, rows)  # m-order -> (f, r)
+    bits = jnp.swapaxes(bits, -1, -2)           # [..., nb, rows, fold]
+    return bits.reshape(*lead, nb * blk).astype(bool)[..., :seq_len]
+
+
+def valid_words_blocked(lengths: jax.Array, off_cap: int, blk: int,
+                        fold: int) -> jax.Array:
+    """Packed validity mask in the blocked layout: [B] -> [B, W] int32 with
+    exactly the bits of tokens < length set."""
+    rows, wb = blk // fold, blk // WORD
+    w_total = off_cap // WORD
+    w = jnp.arange(w_total, dtype=jnp.int32)
+    c, wl = w // wb, w % wb
+    j = jnp.arange(WORD, dtype=jnp.int32)
+    m = j[None, :] * wb + wl[:, None]                       # [W, 32]
+    t = c[:, None] * blk + (m % rows) * fold + (m // rows)  # token index
+    valid = t[None] < lengths[:, None, None]                # [B, W, 32]
+    return jnp.sum(valid.astype(jnp.int32) << j, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "blk", "fold"))
+def build_planes_blocked(keys: jax.Array, projections: jax.Array, K: int,
+                         blk: int, fold: int) -> jax.Array:
+    """Hash + pack a whole key sequence into BLOCKED planes, chunked over
+    fold*wb-token sub-chunks (each contributes whole words at a fixed
+    j-stripe set, so partial sums accumulate without bit overlap).
+
+    keys: [S, H, D] (centered); returns [H, L, K, S//32] int32."""
+    s, h, d = keys.shape
+    lk = projections.shape[-1]
+    K = int(K)
+    L = lk // K
+    rows, wb = blk // fold, blk // WORD
+    jpf = WORD // fold          # j-stripes per fold slot
+    chunk = fold * wb           # tokens per sub-chunk (= blk / jpf)
+    assert s % blk == 0 and blk % (fold * WORD) == 0
+    n_chunks = s // chunk
+
+    def one(acc, inp):
+        kc, idx = inp                           # kc [chunk, H, D]
+        c, i = idx // jpf, idx % jpf
+        bits = hash_bits(kc, projections, K)    # [chunk, H, L, K]
+        # chunk-local token r''*fold + f -> word (j = f*jpf + i, w = r'').
+        b4 = bits.astype(jnp.int32).reshape(wb, fold, h, L, K)
+        part = jnp.zeros((wb, h, L, K), jnp.int32)
+        for f in range(fold):
+            part = part + (b4[:, f] << (f * jpf + i))
+        part = part.transpose(1, 2, 3, 0)       # [H, L, K, wb]
+        old = jax.lax.dynamic_slice_in_dim(acc, c * wb, wb, axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            acc, old + part, c * wb, axis=-1), None
+
+    acc0 = jnp.zeros((h, L, K, s // WORD), jnp.int32)
+    acc, _ = jax.lax.scan(
+        one, acc0, (keys.reshape(n_chunks, chunk, h, d),
+                    jnp.arange(n_chunks, dtype=jnp.int32)))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("K", "seq_len", "chunk"))
 def build_planes(keys: jax.Array, projections: jax.Array, K: int,
                  *, seq_len: int | None = None, chunk: int = 8192):

@@ -138,3 +138,78 @@ def test_collision_words_pallas_bit_exact_production_shape():
     got = np.asarray(collision_words_pallas(q_bits, planes, word_block=16,
                                             interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+# -- blocked (fused-kernel) plane layout --------------------------------------
+
+
+def _blocked_oracle_word_of_token(t, blk, fold):
+    """Token t -> (word index, bit) in the blocked layout (numpy oracle)."""
+    rows, wb = blk // fold, blk // 32
+    c, t_loc = divmod(t, blk)
+    r, f = t_loc // fold, t_loc % fold
+    m = f * rows + r
+    j, w = divmod(m, wb)
+    return c * wb + w, j
+
+
+def test_pack_bitplanes_blocked_matches_oracle():
+    from magicpig_tpu.ops.bitcodes import (pack_bitplanes_blocked,
+                                           unpack_words_blocked)
+    rng = np.random.default_rng(0)
+    S, L, K, blk, fold = 256, 3, 4, 128, 2
+    bits = rng.integers(0, 2, size=(2, S, L, K))
+    words = np.asarray(pack_bitplanes_blocked(jnp.asarray(bits), blk, fold))
+    assert words.shape == (2, L, K, S // 32)
+    for t in range(S):
+        w, j = _blocked_oracle_word_of_token(t, blk, fold)
+        got = (words[1, 2, 1, w] >> j) & 1
+        assert got == bits[1, t, 2, 1], t
+    # unpack inverts pack
+    back = np.asarray(unpack_words_blocked(
+        jnp.asarray(words[:, 0, 0]), blk, fold, S))
+    np.testing.assert_array_equal(back, bits[:, :, 0, 0].astype(bool))
+
+
+def test_blocked_flat_equivalence_blk32_fold1():
+    """flat layout == blocked layout at blk=32, fold=1."""
+    from magicpig_tpu.ops.bitcodes import pack_bitplanes, pack_bitplanes_blocked
+    rng = np.random.default_rng(1)
+    bits = jnp.asarray(rng.integers(0, 2, size=(96, 2, 3)))
+    np.testing.assert_array_equal(
+        np.asarray(pack_bitplanes(bits)),
+        np.asarray(pack_bitplanes_blocked(bits, 32, 1)))
+
+
+def test_valid_words_blocked():
+    from magicpig_tpu.ops.bitcodes import (unpack_words_blocked,
+                                           valid_words_blocked)
+    S, blk, fold = 256, 128, 2
+    lens = jnp.asarray([0, 5, 100, 256], jnp.int32)
+    vw = valid_words_blocked(lens, S, blk, fold)
+    got = np.asarray(unpack_words_blocked(vw, blk, fold, S))
+    want = np.arange(S)[None, :] < np.asarray(lens)[:, None]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_build_planes_blocked_matches_pack():
+    from magicpig_tpu.ops.bitcodes import (build_planes_blocked, hash_bits,
+                                           pack_bitplanes_blocked)
+    rng = np.random.default_rng(2)
+    S, H, D, K, L, blk, fold = 512, 2, 16, 3, 4, 256, 2
+    keys = jnp.asarray(rng.normal(size=(S, H, D)), jnp.float32)
+    proj = jnp.asarray(rng.normal(size=(D, L * K)), jnp.float32)
+    bits = hash_bits(keys, proj, K).transpose(1, 0, 2, 3)  # [H, S, L, K]
+    want = pack_bitplanes_blocked(bits, blk, fold)
+    got = build_planes_blocked(keys, proj, K, blk, fold)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_plane_block():
+    from magicpig_tpu.ops.bitcodes import plane_block
+    assert plane_block(98304, 2) == 32768
+    assert plane_block(12288, 2) == 12288
+    assert plane_block(8192, 2) == 8192
+    assert plane_block(4096, 1) == 4096
+    assert plane_block(2304, 2) == 2304  # no 4096-multiple divides it
+    assert plane_block(131072, 2) == 32768
