@@ -39,7 +39,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from magicpig_tpu.ops.bitcodes import collision_words, unpack_words, valid_words
+from magicpig_tpu.ops.bitcodes import (
+    collision_words,
+    plane_block,
+    unpack_words,
+    unpack_words_blocked,
+    valid_words,
+    valid_words_blocked,
+)
 
 _NEG = -1e30
 
@@ -323,15 +330,30 @@ def lsh_fused_decode(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     Returns (out [B,Hq,d] f32, lse [B,Hq] f32, sampled [B,Hq] f32 counts).
     """
     s = (k_centered.shape[2] * k_centered.shape[3]) // q.shape[-1]
-    # The XLA fori-loop scan stays the production path: the Pallas scan
-    # (ops/pallas/collide.py, bit-exact on hardware) measured 1.65
-    # ms/layer at 96K vs XLA's 0.83 (results/probe_r4/collide_scan.log)
-    # — the G-unrolled XOR/AND chains + >=2-of-L tree cost more VPU time
-    # than the accumulator re-touches they avoid. Measured negative;
-    # kept for the record.
+    fold = max(128 // q.shape[-1], 1)
+    blk = plane_block(s, fold)
+    from magicpig_tpu.ops.pallas.lsh_fused import (fused2_supported,
+                                                   lsh_fused_attention2)
+    if blk and fused2_supported(s, fold, L, interpret):
+        # One-kernel path: the collision scan runs in the attend kernel's
+        # grid pass with VMEM-resident accumulators — planes stream once,
+        # the mask never touches HBM (round-4's two-stage pipeline paid
+        # ~118 MB of XLA accumulator re-touches + mask glue per layer,
+        # results/probe_r4/csr_scan_96k.log).
+        return lsh_fused_attention2(
+            q, k_centered, v, k_norm, planes, q_bits, length, K, L,
+            sm_scale=sm_scale, interpret=interpret, k_scale=k_scale,
+            v_scale=v_scale, batch_split=batch_split, debias=debias)
+    # Two-stage fallback (odd L, non-lane-aligned word counts): XLA scan +
+    # streaming attend. `collision_words` is layout-agnostic; only the
+    # valid/unpack step depends on whether planes are blocked.
     words = collision_words(q_bits, planes)              # [B, Hq, W]
-    words = words & valid_words(length, s // 32)[:, None]
-    mask = unpack_words(words, s)                        # [B, Hq, S] bool
+    if blk:
+        words = words & valid_words_blocked(length, s, blk, fold)[:, None]
+        mask = unpack_words_blocked(words, blk, fold, s)
+    else:
+        words = words & valid_words(length, s // 32)[:, None]
+        mask = unpack_words(words, s)                    # [B, Hq, S] bool
     return lsh_masked_attention(q, k_centered, v, k_norm, mask, K, L,
                                 sm_scale=sm_scale, block_tokens=block_tokens,
                                 interpret=interpret, k_scale=k_scale,

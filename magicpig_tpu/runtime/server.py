@@ -40,7 +40,11 @@ from magicpig_tpu.ops.baselines import (
 )
 from magicpig_tpu.ops.bitcodes import (
     build_planes,
+    build_planes_blocked,
     collision_words,
+    plane_block,
+    unpack_words_blocked,
+    valid_words_blocked,
     hash_bits,
     unpack_words,
     valid_words,
@@ -197,7 +201,16 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
             off_k_q, k_scale = quantize_rows(centered, lsh.offload_k_bits)
             centered = dequantize_rows(off_k_q, k_scale, jnp.float32)
         k_norm = jnp.linalg.norm(centered, axis=-1)         # [off_cap, Hkv]
-        planes = build_planes(centered, projections, lsh.K)  # [Hkv,L,K,W]
+        # BLOCKED plane layout whenever the capacity admits one (always in
+        # production — `offload_capacity` aligns lsh to 4096): the fused
+        # scan+attend kernel streams it directly. Flat fallback otherwise.
+        fold = max(128 // d, 1)
+        blk = plane_block(off_cap, fold)
+        if blk:
+            planes = build_planes_blocked(centered, projections, lsh.K,
+                                          blk, fold)         # [Hkv,L,K,W]
+        else:
+            planes = build_planes(centered, projections, lsh.K)
         hot_k = (hot_k.astype(jnp.float32) - avg[None]).astype(k_full.dtype)
         state = state.replace(
             k_norm=wr(state.k_norm, si, k_norm),
@@ -482,11 +495,18 @@ def _lsh_partial(state, si, q, projections, lsh):
     off_k, off_v = _off_kv(state, si, lsh, jnp.bfloat16, d)
     q_bits = hash_bits(q, projections, lsh.K)               # [B,Hq,L,K]
     words = collision_words(q_bits, state.planes[si])       # [B,Hq,W]
-    words = words & valid_words(state.off_len, w)[:, None]
+    fold = max(128 // d, 1)
+    blk = plane_block(off_cap, fold)
+    if blk:   # blocked plane layout (same predicate as the fill)
+        words = words & valid_words_blocked(state.off_len, off_cap, blk,
+                                            fold)[:, None]
+        mask = unpack_words_blocked(words, blk, fold, off_cap)
+    else:
+        words = words & valid_words(state.off_len, w)[:, None]
+        mask = unpack_words(words, off_cap)                 # [B,Hq,off_cap]
     sampled = jnp.sum(jax.lax.population_count(words),
                       dtype=jnp.int32)
     frac = sampled / jnp.maximum(state.off_len.sum() * hq, 1)
-    mask = unpack_words(words, off_cap)                     # [B,Hq,off_cap]
 
     if lsh.decode_mode == "sampled":
         budget = lsh.sample_budget(off_cap)

@@ -96,6 +96,12 @@ def offload_capacity(lsh: LSHConfig, max_length: int,
                      head_dim: int | None = None) -> int:
     cap = max(0, max_length - lsh.num_sink_tokens - lsh.num_local_tokens)
     align = 128
+    if lsh.estimator == "lsh" and cap >= 4096:
+        # The fused scan+attend kernel wants lane-aligned plane words
+        # (wb = blk/32 multiple of 128 => blk multiple of 4096); aligning
+        # the capacity guarantees `plane_block` finds one. Small contexts
+        # keep the 128 alignment and take the two-stage path.
+        align = 4096
     if lsh.estimator == "block_topk":
         # The scorer's fused ranking and the fallback's block reshape both
         # need the capacity to cover whole ranking blocks; packed-int4

@@ -12,7 +12,9 @@ import pytest
 from magicpig_tpu.ops.attention import full_decode, lsh_masked_decode
 from magicpig_tpu.ops.bitcodes import (
     build_planes,
+    build_planes_blocked,
     collision_words,
+    plane_block,
     hash_bits,
     unpack_words,
     valid_words,
@@ -99,8 +101,15 @@ def test_lsh_fused_matches_masked_oracle(B, HKV, G, S, D, K, L, BLK):
     vc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
     knorm = jnp.linalg.norm(kc.astype(jnp.float32), axis=-1)
     proj = make_hash_projections(jax.random.key(1), D, K, L)
+    # Oracle mask from the FLAT layout; the production call gets the
+    # BLOCKED layout of the same keys (the sampled token set is layout-
+    # independent, only the word packing differs).
     planes = jax.vmap(lambda kb: build_planes(
         kb.transpose(1, 0, 2), proj, K, chunk=64))(kc)
+    fold = max(128 // D, 1)
+    blk = plane_block(S, fold)
+    planes_b = jax.vmap(lambda kb: build_planes_blocked(
+        kb.transpose(1, 0, 2), proj, K, blk, fold))(kc)
     qb = hash_bits(q, proj, K)
     length = jnp.asarray(rng.integers(S // 2, S, (B,)), jnp.int32)
 
@@ -109,7 +118,7 @@ def test_lsh_fused_matches_masked_oracle(B, HKV, G, S, D, K, L, BLK):
     mask = unpack_words(words, S)
     o1, l1 = lsh_masked_decode(q, kc, vc, knorm, mask, length, K, L)
 
-    o2, l2, cnt = lsh_fused_decode(q, kc, vc, knorm, planes, qb, length,
+    o2, l2, cnt = lsh_fused_decode(q, kc, vc, knorm, planes_b, qb, length,
                                    K, L, block_tokens=BLK, interpret=True)
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
                                rtol=3e-3, atol=3e-3)
@@ -122,8 +131,8 @@ def test_lsh_fused_matches_masked_oracle(B, HKV, G, S, D, K, L, BLK):
         # The per-request split (the B>=2 toolchain workaround the server
         # enables, runtime/server.py::_lsh_partial) is the same program per
         # slice — bit-identical to the batched grid.
-        o3, l3, c3 = lsh_fused_decode(q, kc, vc, knorm, planes, qb, length,
-                                      K, L, block_tokens=BLK,
+        o3, l3, c3 = lsh_fused_decode(q, kc, vc, knorm, planes_b, qb,
+                                      length, K, L, block_tokens=BLK,
                                       interpret=True, batch_split=True)
         np.testing.assert_array_equal(np.asarray(o3), np.asarray(o2))
         np.testing.assert_array_equal(np.asarray(l3), np.asarray(l2))
@@ -238,8 +247,9 @@ def test_lsh_fused_int8_matches_dequant_oracle():
     vd = dequantize_rows(vq, vs, jnp.float32)
     knorm = jnp.linalg.norm(kd, axis=-1)
     proj = make_hash_projections(jax.random.key(1), D, K, L)
-    planes = jax.vmap(lambda kb: build_planes(
-        kb.transpose(1, 0, 2), proj, K, chunk=64))(kd)
+    fold8 = max(128 // D, 1)
+    planes = jax.vmap(lambda kb: build_planes_blocked(
+        kb.transpose(1, 0, 2), proj, K, plane_block(S, fold8), fold8))(kd)
     qb = hash_bits(q, proj, K)
     length = jnp.asarray([450, 300], jnp.int32)
 
