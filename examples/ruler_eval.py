@@ -47,6 +47,23 @@ def main():
                             "block_topk"])
     p.add_argument("--decode-mode", type=str, default="masked",
                    choices=["sampled", "masked"])
+    p.add_argument("--debias", type=str, default="exact",
+                   choices=["exact", "poly", "none"],
+                   help="lsh importance-sampling reweight (none = plain "
+                        "collision sampling — the budget-matched "
+                        "diagnostic row)")
+    p.add_argument("--budget-frac", type=float, default=None,
+                   help="override the selected estimator's token/block "
+                        "budget fraction (budget-matched comparisons, "
+                        "e.g. topk at lsh's 2.5%% realized coverage)")
+    p.add_argument("--block-size", type=int, default=None,
+                   help="block_topk ranking block size override (small "
+                        "blocks let a 2.5%% budget resolve at short "
+                        "contexts)")
+    p.add_argument("--offload-quant", type=str, default=None,
+                   choices=["none", "int8", "int4"])
+    p.add_argument("--tag", type=str, default="",
+                   help="suffix for the output directory name")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (JAX_PLATFORMS env is ignored "
                         "under axon; only jax.config works)")
@@ -87,14 +104,28 @@ def main():
         kw["K"] = -args.K
     else:
         kw["K"] = args.K
-    lsh = LSHConfig(L=args.L, decode_mode=args.decode_mode, **kw)
+    if args.budget_frac is not None:
+        est = kw.get("estimator", "lsh")
+        frac_field = {"topk": "topk_budget_frac",
+                      "block_topk": "block_topk_budget_frac",
+                      "quest": "quest_budget_frac",
+                      "oracle_sampling": "os_budget_frac"}.get(est)
+        if frac_field:
+            kw[frac_field] = args.budget_frac
+    if args.block_size is not None:
+        kw["block_topk_block_size"] = args.block_size
+    if args.offload_quant is not None:
+        kw["offload_quant"] = args.offload_quant
+    lsh = LSHConfig(L=args.L, decode_mode=args.decode_mode,
+                    lsh_debias=args.debias, **kw)
 
     llm = LLM(config, batch_size=1, max_length=max_len, lsh=lsh,
               params=params, seed=0)
     tok = get_tokenizer(args.tokenizer or args.checkpoint)
 
     out_dir = os.path.join(args.out, f"{config.name}_seq{args.seq}_"
-                                     f"{lsh.estimator}_K{lsh.K}L{lsh.L}")
+                                     f"{lsh.estimator}_K{lsh.K}L{lsh.L}"
+                                     f"{args.tag}")
     results = run_suite(llm, tok, out_dir, tasks=args.tasks,
                         num_samples=args.samples, target_tokens=args.seq,
                         seed=args.seed)

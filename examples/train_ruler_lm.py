@@ -72,7 +72,7 @@ def model_config(dtype=jnp.float32) -> ModelConfig:
 
 
 def gen_pool(n: int, seq: int, seed: int, target_lo: int, target_hi: int,
-             rng: np.random.Generator):
+             rng: np.random.Generator, tasks=TRAIN_TASKS):
     """Pre-generate byte-encoded training samples: (tokens [n, seq] i32,
     weights [n, seq] f32). Target = next byte; weights 1.0 on the answer
     region, `--lm-weight` elsewhere (applied in the loss)."""
@@ -85,7 +85,7 @@ def gen_pool(n: int, seq: int, seed: int, target_lo: int, target_hi: int,
     i = 0
     batch_idx = 0
     while i < n:
-        task = TRAIN_TASKS[batch_idx % len(TRAIN_TASKS)]
+        task = tasks[batch_idx % len(tasks)]
         tt = int(rng.integers(target_lo, target_hi + 1))
         # seed disjoint from the eval's (42): per-pool-batch seeds >= 10000
         samples = generate_task(task, min(64, n - i), tt,
@@ -122,7 +122,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default="data/ruler_lm.npz")
     ap.add_argument("--init", type=str, default=None)
+    ap.add_argument("--train-tasks", type=str, default=None,
+                    help="comma list with repetition = sampling weight "
+                         "(e.g. 'vt,vt,vt,niah_single_1' oversamples vt "
+                         "3:1 — the round-5 vt stage: vt scored 0 even "
+                         "for full attention after the uniform mix)")
     args = ap.parse_args()
+    tasks = (tuple(args.train_tasks.split(","))
+             if args.train_tasks else TRAIN_TASKS)
 
     import optax
 
@@ -158,7 +165,8 @@ def main():
     t0 = time.time()
     print("generating sample pool...", flush=True)
     toks, answer, valid = gen_pool(args.pool, args.seq, args.seed,
-                                   args.target_lo, args.target_hi, rng)
+                                   args.target_lo, args.target_hi, rng,
+                                   tasks=tasks)
     # weights: 1.0 at answer-byte predictions, lm-weight on other valid
     # positions (learning to model the haystack is what builds induction).
     wts = np.where(answer, 1.0,

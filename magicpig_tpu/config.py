@@ -286,6 +286,14 @@ class LSHConfig:
     # regresses the batched compile (the round-2 remote-compile crash,
     # fixed by round 4 — results/probe_r4/lsh_scan_96k.log).
     batch_split: bool = False
+    # Importance-sampling debias applied to LSH-sampled scores:
+    # "exact" = the reference's -log(w) reweight (`transform_kernel`,
+    # sparse_attention.cc:164-184); "poly" = one-polynomial approximation
+    # (ops/debias.py); "none" DISABLES the reweight — sampled scores go
+    # straight to softmax, turning the estimator into plain collision
+    # top-sampling. Diagnostic knob: whether the debias earns its keep is
+    # part of the reference's central claim.
+    lsh_debias: str = "exact"
     # Offload-region KV storage: "none" keeps the model dtype (bf16);
     # "int8" stores per-row symmetric-quantized K/V with f32 scales —
     # halves the sparse layers' HBM state and doubles effective scoring
@@ -312,6 +320,7 @@ class LSHConfig:
         assert self.dense_quant in ("none", "int8"), self.dense_quant
         assert self.block_topk_pipeline in ("rescore", "store"), \
             self.block_topk_pipeline
+        assert self.lsh_debias in ("exact", "poly", "none"), self.lsh_debias
 
     @property
     def offload_quantized(self) -> bool:

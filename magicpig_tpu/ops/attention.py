@@ -329,7 +329,8 @@ def collision_mask(q_codes: jnp.ndarray, k_codes: jnp.ndarray) -> jnp.ndarray:
 
 def lsh_masked_decode(q: jnp.ndarray, k_centered: jnp.ndarray, v: jnp.ndarray,
                       k_norm: jnp.ndarray, mask: jnp.ndarray,
-                      length: jnp.ndarray, K: int, L: int):
+                      length: jnp.ndarray, K: int, L: int,
+                      debias: str = "exact"):
     """Dense masked formulation of LSH-sampled attention (accuracy oracle).
 
     q: [B, Hq, d] (un-normalized); k_centered/v: [B, Hkv, S, d];
@@ -345,7 +346,10 @@ def lsh_masked_decode(q: jnp.ndarray, k_centered: jnp.ndarray, v: jnp.ndarray,
                      preferred_element_type=jnp.float32)
     q_norm = jnp.linalg.norm(qh.astype(jnp.float32), axis=-1)[..., None]  # [B,Hkv,G,1]
     kn = k_norm[:, :, None, :]  # [B,Hkv,1,S]
-    scores = debias_scores(raw, q_norm, kn, d, K, L)  # [B,Hkv,G,S]
+    if debias == "none":   # diagnostic: plain collision sampling, no reweight
+        scores = raw / (d ** 0.5)
+    else:
+        scores = debias_scores(raw, q_norm, kn, d, K, L)  # [B,Hkv,G,S]
     valid = (jnp.arange(s)[None, :] < length[:, None])[:, None, None]  # [B,1,1,S]
     full_mask = mask.reshape(b, hkv, g, s) & valid
     scores = jnp.where(full_mask, scores, _NEG_INF)

@@ -488,7 +488,8 @@ def _lsh_partial(state, si, q, projections, lsh):
             # lsh_scan_96k.log: B=2 batched grid compiles+runs), so the
             # per-request split — which doubled kernel dispatches per
             # layer at B=2 — is only a fallback (lsh.batch_split).
-            batch_split=lsh.batch_split and b > 1)
+            batch_split=lsh.batch_split and b > 1,
+            debias=lsh.lsh_debias)
         frac = cnt.sum() / jnp.maximum(state.off_len.sum() * hq, 1)
         return out, lse, frac
 
@@ -517,7 +518,7 @@ def _lsh_partial(state, si, q, projections, lsh):
     else:
         out, lse = lsh_masked_decode(
             q, off_k, off_v, state.k_norm[si], mask,
-            state.off_len, lsh.K, lsh.L)
+            state.off_len, lsh.K, lsh.L, debias=lsh.lsh_debias)
     return out, lse, frac
 
 
