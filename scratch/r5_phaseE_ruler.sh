@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-5 phase E: RULER at contexts where the budgets bind (VERDICT
+# items 2+4). Byte-LM v2, target 768 words (~4.5-5K byte context), n=50.
+#   Headline: 5 configs x 13 tasks  (full, lsh, block_topk4, quest, topk)
+#   Diagnostic (budget-matched, 7 discriminating tasks): topk@2.5%,
+#   block_topk(128)@2.5%, lsh L=300, lsh debias=none.
+set -o pipefail
+export PYTHONPATH=/root/repo:${PYTHONPATH}
+cd /root/repo || exit 1
+CK=${CK:-data/ruler_lm_v2.npz}
+[ -f "$CK" ] || CK=data/ruler_lm.npz
+SEQ=${SEQ:-768}
+N=${N:-50}
+ML=$((SEQ * 8))
+OUT=results/ruler_r5
+mkdir -p $OUT
+DISC="niah_single_1 niah_single_2 niah_single_3 niah_multikey_1 niah_multiquery niah_multivalue vt"
+
+run() {  # run <log> <extra args...>
+    local log=$1; shift
+    echo "=== $log: $*" | tee -a $OUT/runbook.log
+    timeout 10800 python examples/ruler_eval.py --npz $CK --seq $SEQ \
+        --samples $N --max-length $ML --out $OUT "$@" \
+        > $OUT/$log.log 2>&1
+    local rc=$?
+    tail -3 $OUT/$log.log | tee -a $OUT/runbook.log
+    echo "=== $log rc=$rc" | tee -a $OUT/runbook.log
+}
+
+# headline 13-task rows
+run full --K 0
+run lsh --estimator lsh --K 10 --L 150 --offload-quant int8
+run bt4 --estimator block_topk --offload-quant int4 --tag _bt4
+run quest --estimator quest
+run topk --estimator topk
+# budget-matched diagnostics
+run topk25 --estimator topk --budget-frac 0.025 --tag _bf025 --tasks $DISC
+run bt25 --estimator block_topk --block-size 128 --budget-frac 0.025 \
+    --offload-quant int8 --tag _bf025 --tasks $DISC
+run lshL300 --estimator lsh --K 11 --L 300 --offload-quant int8 --tasks $DISC
+run lshnodb --estimator lsh --K 10 --L 150 --offload-quant int8 \
+    --debias none --tag _nodebias --tasks $DISC
+echo "PHASE E DONE"
