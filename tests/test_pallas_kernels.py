@@ -328,3 +328,67 @@ def test_exact_scores_ranked_fused_mask_and_blockmax(quant, D):
     got = got.transpose(0, 1, 3, 4, 2).reshape(B, HKV, G, S)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_lsh_fused_odd_L_fallback_matches_oracle():
+    """Odd L cannot use the paired-table fused kernel; the dispatch must
+    fall back to the two-stage path with BLOCKED unpack and still match
+    the masked oracle."""
+    from magicpig_tpu.ops.bitcodes import (unpack_words_blocked,
+                                           valid_words_blocked)
+    rng = np.random.default_rng(11)
+    B, HKV, G, S, D, K, L = 1, 2, 4, 256, 64, 6, 21
+    HQ = HKV * G
+    q = jnp.asarray(rng.standard_normal((B, HQ, D)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    knorm = jnp.linalg.norm(kc, axis=-1)
+    proj = make_hash_projections(jax.random.key(2), D, K, L)
+    fold = 2
+    blk = plane_block(S, fold)
+    planes_b = jax.vmap(lambda kb: build_planes_blocked(
+        kb.transpose(1, 0, 2), proj, K, blk, fold))(kc)
+    qb = hash_bits(q, proj, K)
+    length = jnp.asarray([200], jnp.int32)
+
+    words = collision_words(qb, planes_b)
+    words = words & valid_words_blocked(length, S, blk, fold)[:, None]
+    mask = unpack_words_blocked(words, blk, fold, S)
+    o1, l1 = lsh_masked_decode(q, kc, vc, knorm, mask, length, K, L)
+    o2, l2, cnt = lsh_fused_decode(q, kc, vc, knorm, planes_b, qb, length,
+                                   K, L, block_tokens=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_array_equal(np.asarray(cnt),
+                                  np.asarray(mask.sum(-1), np.float32))
+
+
+def test_lsh_fused_debias_none():
+    """debias='none' drops the importance reweight in BOTH the fused
+    kernel and the XLA oracle (the budget-matched diagnostic row)."""
+    rng = np.random.default_rng(12)
+    B, HKV, G, S, D, K, L = 1, 2, 2, 256, 64, 6, 20
+    q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, HKV, S, D)), jnp.float32)
+    knorm = jnp.linalg.norm(kc, axis=-1)
+    proj = make_hash_projections(jax.random.key(3), D, K, L)
+    fold = 2
+    blk = plane_block(S, fold)
+    planes_b = jax.vmap(lambda kb: build_planes_blocked(
+        kb.transpose(1, 0, 2), proj, K, blk, fold))(kc)
+    qb = hash_bits(q, proj, K)
+    length = jnp.asarray([S], jnp.int32)
+    from magicpig_tpu.ops.bitcodes import unpack_words_blocked
+    words = collision_words(qb, planes_b)
+    mask = unpack_words_blocked(words, blk, fold, S)
+    o1, l1 = lsh_masked_decode(q, kc, vc, knorm, mask, length, K, L,
+                               debias="none")
+    o2, l2, _ = lsh_fused_decode(q, kc, vc, knorm, planes_b, qb, length,
+                                 K, L, interpret=True, debias="none")
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=3e-3, atol=3e-3)
+    # and it differs from the debiased result (the knob does something)
+    o3, _, _ = lsh_fused_decode(q, kc, vc, knorm, planes_b, qb, length,
+                                K, L, interpret=True)
+    assert np.abs(np.asarray(o3) - np.asarray(o2)).max() > 1e-4
