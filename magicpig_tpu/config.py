@@ -63,6 +63,12 @@ class ModelConfig:
     # groups, Quant4Weight): halves the weight stream again and fits
     # 8B @ 96K with the block_topk4 state on one chip.
     weight_quant: str = "none"
+    # Fuse q/k/v and gate/up into single wider quantized matmuls
+    # (models/llama.py::fuse_params): the M=1 decode step pays a per-call
+    # fixed cost on every small projection, so 7 calls/layer -> 4.
+    # Bitwise-equal math (quantize-then-concat). Single-chip decode only
+    # — the TP pspecs shard the unfused layout.
+    fuse_small_linears: bool = False
 
     @property
     def num_key_value_groups(self) -> int:

@@ -205,6 +205,16 @@ class LayerParams:
     w_down: jax.Array  # [N, inter, hidden]
     ln_attn: jax.Array  # [N, hidden]
     ln_mlp: jax.Array   # [N, hidden]
+    # Fused small-linear forms (`ModelConfig.fuse_small_linears`): qkv and
+    # gate|up concatenated along OUT so the quantized decode path issues
+    # ONE w4/w8 matmul instead of three/two — per-call fixed cost is what
+    # the small projections pay at M=1 (VERDICT r4 item 5). Quantize-then-
+    # concat, so results are bitwise equal to the separate calls. When
+    # set, the corresponding unfused fields are None. Single-chip decode
+    # only: the TP pspecs shard the UNFUSED layout (a contiguous shard of
+    # the fused out-dim would cross the q/k/v part boundaries).
+    wqkv: jax.Array | None = None      # [N, hidden, (Hq+2*Hkv)*d]
+    w_gateup: jax.Array | None = None  # [N, hidden, 2*inter]
 
     def layer(self, i: int) -> "LayerParams":
         return jax.tree.map(lambda x: x[i], self)
@@ -271,7 +281,7 @@ def init_params(config: ModelConfig, key: jax.Array, max_len: int) -> LlamaParam
     else:
         lm_head = w(ks[8], (h, config.vocab_size), h)
     cos, sin = rope_cos_sin(config, max_len)
-    return LlamaParams(
+    params = LlamaParams(
         embed=embed,
         lm_head=lm_head,
         final_ln=jnp.ones((h,), dt),
@@ -279,6 +289,34 @@ def init_params(config: ModelConfig, key: jax.Array, max_len: int) -> LlamaParam
         cos=cos,
         sin=sin,
     )
+    if qbits and config.fuse_small_linears:
+        params = fuse_params(params)
+    return params
+
+
+def _concat_qw(ws) -> "QuantWeight | Quant4Weight":
+    """Concatenate quantized weights along OUT (bitwise-equal math: both
+    formats scale per output channel / (group, channel))."""
+    if isinstance(ws[0], Quant4Weight):
+        return Quant4Weight(q=jnp.concatenate([w.q for w in ws], axis=-1),
+                            scale=jnp.concatenate([w.scale for w in ws],
+                                                  axis=-1))
+    return QuantWeight(q=jnp.concatenate([w.q for w in ws], axis=-1),
+                       scale=jnp.concatenate([w.scale for w in ws], axis=-1))
+
+
+def fuse_params(params: LlamaParams) -> LlamaParams:
+    """Build the fused qkv / gate|up forms from quantized per-projection
+    weights and drop the unfused leaves (see LayerParams docstring)."""
+    lw = params.layers
+    assert isinstance(lw.wq, (QuantWeight, Quant4Weight)), (
+        "fuse_params applies to quantized weights (exact weights gain "
+        "nothing: XLA fuses bf16 matmuls sharing an operand)")
+    layers = lw.replace(
+        wqkv=jax.jit(_concat_qw)((lw.wq, lw.wk, lw.wv)),
+        w_gateup=jax.jit(_concat_qw)((lw.w_gate, lw.w_up)),
+        wq=None, wk=None, wv=None, w_gate=None, w_up=None)
+    return params.replace(layers=layers)
 
 
 def quantize_params(params: LlamaParams, bits: int = 8) -> LlamaParams:
@@ -321,9 +359,17 @@ def qkv_proj(lp: LayerParams, config: ModelConfig, hidden: jax.Array,
     b, s, h = hidden.shape
     d = config.head_dim
     x = rms_norm(hidden, lp.ln_attn, config.rms_norm_eps)
-    q = linear(x, lp.wq).reshape(b, s, config.num_attention_heads, d)
-    k = linear(x, lp.wk).reshape(b, s, config.num_key_value_heads, d)
-    v = linear(x, lp.wv).reshape(b, s, config.num_key_value_heads, d)
+    if lp.wqkv is not None:
+        hq = config.num_attention_heads * d
+        hkv = config.num_key_value_heads * d
+        qkv = linear(x, lp.wqkv)                 # one fused matmul
+        q, k, v = (qkv[..., :hq], qkv[..., hq:hq + hkv],
+                   qkv[..., hq + hkv:])
+    else:
+        q, k, v = linear(x, lp.wq), linear(x, lp.wk), linear(x, lp.wv)
+    q = q.reshape(b, s, config.num_attention_heads, d)
+    k = k.reshape(b, s, config.num_key_value_heads, d)
+    v = v.reshape(b, s, config.num_key_value_heads, d)
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
     return q, k, v
@@ -336,8 +382,16 @@ def post_attention(lp: LayerParams, config: ModelConfig, attn_out: jax.Array,
     hidden = residual + linear(attn_out.astype(residual.dtype), lp.wo)
     residual = hidden
     x = rms_norm(hidden, lp.ln_mlp, config.rms_norm_eps)
-    gate = jax.nn.silu(linear(x, lp.w_gate).astype(jnp.float32)).astype(x.dtype)
-    hidden = linear(gate * linear(x, lp.w_up), lp.w_down)
+    if lp.w_gateup is not None:
+        inter = lp.w_gateup.scale.shape[-1] // 2 \
+            if isinstance(lp.w_gateup, (QuantWeight, Quant4Weight)) \
+            else lp.w_gateup.shape[-1] // 2
+        gu = linear(x, lp.w_gateup)              # one fused matmul
+        g, u = gu[..., :inter], gu[..., inter:]
+    else:
+        g, u = linear(x, lp.w_gate), linear(x, lp.w_up)
+    gate = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype)
+    hidden = linear(gate * u.astype(x.dtype), lp.w_down)
     return residual + hidden
 
 

@@ -73,10 +73,12 @@ def params_from_state_dict(config: ModelConfig, sd: dict, max_len: int,
         sin=sin,
     )
     if config.weight_quant in ("int8", "int4"):
-        from magicpig_tpu.models.llama import quantize_params
+        from magicpig_tpu.models.llama import fuse_params, quantize_params
 
         params = quantize_params(
             params, bits=4 if config.weight_quant == "int4" else 8)
+        if config.fuse_small_linears:
+            params = fuse_params(params)
     return params
 
 

@@ -11,6 +11,7 @@ and the prefill (dequantized) path must agree with it.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from magicpig_tpu.config import LSHConfig, preset
 from magicpig_tpu.models.llama import (
@@ -198,3 +199,52 @@ def test_w4_matmul_kernel_unsupported_shapes():
     assert w4_block_shapes(1, 192, 512) is None        # kin not 128-aligned
     assert w4_block_shapes(1, 512, 192) is None        # out not 128-aligned
     assert w4_block_shapes(1, 2816 * 2, 512) is None   # kin//2 % 512 != 0
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_fused_qkv_gateup_matches_unfused(bits):
+    """fuse_params (quantize-then-concat) must reproduce the separate
+    projections' outputs exactly — same quantized values, same scales,
+    per-column-independent math."""
+    import dataclasses
+
+    from magicpig_tpu.models.llama import (fuse_params, init_params,
+                                           post_attention, qkv_proj,
+                                           quantize_params)
+    from magicpig_tpu.config import ModelConfig
+
+    cfg = ModelConfig(name="t", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      head_dim=32, rope_theta=1e4, rope_scaling=None,
+                      max_position_embeddings=256, eos_token_ids=(0,),
+                      dtype=jnp.float32)
+    params = init_params(cfg, jax.random.key(0), 64)
+    qp = quantize_params(params, bits=bits)
+    fp = fuse_params(qp)
+    assert fp.layers.wq is None and fp.layers.w_gate is None
+    rng = np.random.default_rng(0)
+    hidden = jnp.asarray(rng.standard_normal((2, 3, 128)), jnp.float32)
+    pos = jnp.zeros((2, 3), jnp.int32)
+    for i in range(2):
+        q1, k1, v1 = qkv_proj(qp.layers.layer(i), cfg, hidden, pos,
+                              params.cos, params.sin)
+        q2, k2, v2 = qkv_proj(fp.layers.layer(i), cfg, hidden, pos,
+                              params.cos, params.sin)
+        np.testing.assert_allclose(np.asarray(q2), np.asarray(q1),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(k2), np.asarray(k1),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   rtol=1e-6, atol=1e-6)
+        attn = jnp.asarray(rng.standard_normal((2, 3, 128)), jnp.float32)
+        h1 = post_attention(qp.layers.layer(i), cfg, attn, hidden)
+        h2 = post_attention(fp.layers.layer(i), cfg, attn, hidden)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                                   rtol=1e-6, atol=1e-6)
+
+    # init_params builds the fused form directly under the config flag
+    cfgf = dataclasses.replace(cfg, weight_quant="int8" if bits == 8
+                               else "int4", fuse_small_linears=True)
+    pf = init_params(cfgf, jax.random.key(0), 64)
+    assert pf.layers.wqkv is not None and pf.layers.wq is None
