@@ -9,9 +9,10 @@ export PYTHONPATH=/root/repo:${PYTHONPATH}
 cd /root/repo || exit 1
 CK=${CK:-data/ruler_lm_v2.npz}
 [ -f "$CK" ] || CK=data/ruler_lm.npz
-SEQ=${SEQ:-768}
+SEQ=${SEQ:-1152}   # ~4.2-5K BYTE context (the engine's real sequence
+                   # length; the generator's word-count target maps ~3.7x)
 N=${N:-50}
-ML=$((SEQ * 8))
+ML=$((SEQ * 6))
 OUT=results/ruler_r5
 mkdir -p $OUT
 DISC="niah_single_1 niah_single_2 niah_single_3 niah_multikey_1 niah_multiquery niah_multivalue vt"
