@@ -133,6 +133,10 @@ def worker(args):
                                       "weight_quant": wq}), flush=True)
         return
     lsh = make_lsh(args.worker, args.K, args.L)
+    if args.batch_split and args.B > 1:
+        lsh = dataclasses.replace(lsh, batch_split=True)
+    if wq != "none" and cfg.fuse_small_linears is False and args.fuse:
+        cfg = dataclasses.replace(cfg, fuse_small_linears=True)
     llm = LLM(cfg, batch_size=args.B, max_length=args.M, lsh=lsh, seed=0,
               chunk_size=args.chunk)
     synthetic_prefill(llm, args.P, seed=1)
@@ -230,6 +234,12 @@ def main():
     p.add_argument("--attempt-timeout", type=int, default=1000)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--worker", type=str, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--batch-split", action="store_true",
+                   help="per-request pallas grids in the fused LSH kernel "
+                        "(auto-retry fallback for batched-compile crashes)")
+    p.add_argument("--fuse", type=int, default=1,
+                   help="1 = fuse qkv/gate-up into single quantized "
+                        "matmuls (single-chip decode; bitwise-equal math)")
     args = p.parse_args()
     if args.quick:
         args.P, args.M, args.G = 16000, 16384, 8
@@ -338,6 +348,7 @@ def main():
         infra_retries = 0
         mosaic_strikes = 0
         backend_retries = 0
+        batch_split = False
         while B >= 1:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--worker", mode, "--B", str(B)]
@@ -345,8 +356,11 @@ def main():
                               ("--M", args.M), ("--G", args.G),
                               ("--K", args.K), ("--L", args.L),
                               ("--chunk", args.chunk),
-                              ("--weight-quant", wq)):
+                              ("--weight-quant", wq),
+                              ("--fuse", args.fuse)):
                 cmd += [flag, str(val)]
+            if batch_split:
+                cmd += ["--batch-split"]
             try:
                 out = subprocess.run(
                     cmd, capture_output=True, text=True, env=worker_env(),
@@ -417,6 +431,16 @@ def main():
                       file=sys.stderr)
                 break
             if is_mosaic:
+                if mode == "lsh" and B > 1 and not batch_split:
+                    # The batched fused-LSH grid has a history of remote
+                    # tpu_compile_helper crashes (round 2); the per-request
+                    # split is the same program per slice. Retry the SAME
+                    # batch split before shrinking it.
+                    batch_split = True
+                    print(f"# {mode}: Mosaic/compile failure at B={B}; "
+                          f"retrying with per-request batch_split",
+                          file=sys.stderr)
+                    continue
                 # Kernel-lowering failures are usually batch-independent,
                 # but some VMEM/resource errors scale with B: allow ONE
                 # smaller-B attempt before abandoning the mode (the
