@@ -38,15 +38,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, s_ref, o_ref, *, gpb: int):
+def _kernel(x_ref, w_ref, s_ref, o_ref, *, gpb: int, unpack8: bool):
     i_k = pl.program_id(1)
     ob = o_ref.shape[1]
     m = o_ref.shape[0]
     acc = jnp.zeros((m, ob), jnp.float32)
     for j in range(gpb):
-        wj = w_ref[j * 64:(j + 1) * 64, :].astype(jnp.int32)
-        lo = ((wj << 28) >> 28).astype(jnp.bfloat16)      # inputs +[0, 64)
-        hi = (wj >> 4).astype(jnp.bfloat16)               # inputs +[64, 128)
+        if unpack8:
+            # int8-native unpack: arithmetic shifts stay in int8 lanes
+            # (4 bytes/lane-slot vs the int32 widen's 1), quartering the
+            # VPU unpack instructions per streamed byte — the unpack was
+            # what held the kernel at ~110-200 GB/s effective vs the 310
+            # GB/s int8 stream floor (w4_verify.log round 4).
+            wj8 = w_ref[j * 64:(j + 1) * 64, :]
+            lo = ((wj8 << 4) >> 4).astype(jnp.bfloat16)   # inputs +[0, 64)
+            hi = (wj8 >> 4).astype(jnp.bfloat16)          # inputs +[64, 128)
+        else:
+            wj = w_ref[j * 64:(j + 1) * 64, :].astype(jnp.int32)
+            lo = ((wj << 28) >> 28).astype(jnp.bfloat16)
+            hi = (wj >> 4).astype(jnp.bfloat16)
         wg = jnp.concatenate([lo, hi], axis=0)            # [128, ob]
         xg = x_ref[:, j * 128:(j + 1) * 128]              # [m, 128] bf16
         part = jax.lax.dot_general(
@@ -89,9 +99,9 @@ def w4_block_shapes(m: int, kin: int, out: int):
     return m_pad, rows_blk, out_blk
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "unpack8"))
 def w4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array,
-              interpret: bool = False) -> jax.Array:
+              interpret: bool = False, unpack8: bool = True) -> jax.Array:
     """x [M, kin] (any float dtype) @ group-int4 W -> f32 [M, out].
 
     q: packed int8 [kin//2, out] (layout contract above);
@@ -109,7 +119,7 @@ def w4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array,
     xp = jnp.zeros((m_pad, kin), jnp.bfloat16).at[:m].set(
         x.astype(jnp.bfloat16))
     res = pl.pallas_call(
-        functools.partial(_kernel, gpb=gpb),
+        functools.partial(_kernel, gpb=gpb, unpack8=unpack8),
         grid=(n_out, n_kin),
         in_specs=[
             pl.BlockSpec((m_pad, gpb * 128), lambda o, k: (0, k),

@@ -106,6 +106,24 @@ def a():
                                lambda x, w=w: linear(x, w))
 
 
+@section("A2_unpack8")
+def a2():
+    global args_shape
+    print("A2. w4_matmul nibble-unpack variants (gate shape):", flush=True)
+    from magicpig_tpu.ops.pallas.w4_matmul import w4_matmul
+    w, kin, out = weights["w_gate"][0], H, INTER
+    args_shape = (1, kin)
+    for u8 in (False, True):
+        results[f"unpack8_{u8}"] = timeit(
+            f"w4_matmul gate [{kin}->{out}] unpack8={u8}",
+            lambda x, u8=u8: w4_matmul(x, w.q, w.scale, unpack8=u8))
+    w2, kin2, out2 = weights["w_gateup"][0], H, 2 * INTER
+    for u8 in (False, True):
+        results[f"unpack8gu_{u8}"] = timeit(
+            f"w4_matmul gate|up [{kin2}->{out2}] unpack8={u8}",
+            lambda x, u8=u8: w4_matmul(x, w2.q, w2.scale, unpack8=u8))
+
+
 @section("B_layer_chain")
 def bsec():
     global args_shape
@@ -286,7 +304,7 @@ def dsec():
                                  lambda x: rms_norm(x, g, 1e-5))
 
 
-for fn in (a, bsec, csec, dsec, esec):
+for fn in (a, a2, bsec, csec, dsec, esec):
     fn()
 
 if results:

@@ -248,3 +248,17 @@ def test_fused_qkv_gateup_matches_unfused(bits):
                                else "int4", fuse_small_linears=True)
     pf = init_params(cfgf, jax.random.key(0), 64)
     assert pf.layers.wqkv is not None and pf.layers.wq is None
+
+
+def test_w4_matmul_unpack8_matches_int32_unpack():
+    """int8-native nibble unpack == the int32-widen unpack, bit for bit."""
+    from magicpig_tpu.ops.pallas.w4_matmul import w4_matmul
+
+    rng = np.random.default_rng(5)
+    m, kin, out = 4, 256, 256
+    x = jnp.asarray(rng.standard_normal((m, kin)), jnp.bfloat16)
+    q = jnp.asarray(rng.integers(-128, 128, (kin // 2, out), np.int8))
+    s = jnp.asarray(rng.uniform(0.001, 0.02, (kin // 128, out)), jnp.float32)
+    a = w4_matmul(x, q, s, interpret=True, unpack8=True)
+    b = w4_matmul(x, q, s, interpret=True, unpack8=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
