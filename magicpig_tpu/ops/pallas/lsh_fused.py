@@ -89,7 +89,12 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, ksc_ref, vsc_ref, norm_ref,
         qp = qsel_ref[0, 0, i]                          # [2G, K] 0/-1
         match = jnp.full((2 * g, wb), -1, jnp.int32)
         for k in range(K):
-            prow = jnp.repeat(pk[:, k, :], g, axis=0)   # [2G, wb]
+            # [p0 x G rows, p1 x G rows] via sublane broadcast + concat
+            # (explicit form — jnp.repeat's gather lowering is not a
+            # Mosaic-friendly path).
+            prow = jnp.concatenate(
+                [jnp.broadcast_to(pk[0, k][None], (g, wb)),
+                 jnp.broadcast_to(pk[1, k][None], (g, wb))], axis=0)
             match = match & (prow ^ qp[:, k:k + 1])
         return once | match, twice | (once & match)
 
