@@ -545,15 +545,35 @@ class LLM:
         t1 = time.perf_counter()
         generated: list[int] = []
         key = self._sample_key
-        for _ in range(max_tokens):
-            key, sub = jax.random.split(key)
-            token = self._sample_jit(sub, logits, temperature=temperature,
-                                     top_p=top_p)
-            tok = int(np.asarray(token)[0])
+        if temperature < 0.1 and self.batch_size == 1:
+            # Greedy fast path: decode in multi-token chunks via the
+            # scanned one-dispatch step — the per-token loop below pays
+            # TWO host round-trips per token (~60 ms through the axon
+            # tunnel), which dominated the RULER predict wall time.
+            # Tokens computed past an EOS inside a chunk are discarded
+            # (the per-sample clear() resets state anyway).
+            tok = int(np.asarray(greedy_sample(logits))[0])
             generated.append(tok)
-            if tok in self.config.eos_token_ids:
-                break
-            logits = self.inference(token)
+            while (len(generated) < max_tokens
+                   and tok not in self.config.eos_token_ids):
+                n = min(16, max_tokens - len(generated))
+                chunk = np.asarray(self.decode_steps([tok], n))[:, 0]
+                for t in chunk:
+                    tok = int(t)
+                    generated.append(tok)
+                    if tok in self.config.eos_token_ids:
+                        break
+        else:
+            for _ in range(max_tokens):
+                key, sub = jax.random.split(key)
+                token = self._sample_jit(sub, logits,
+                                         temperature=temperature,
+                                         top_p=top_p)
+                tok = int(np.asarray(token)[0])
+                generated.append(tok)
+                if tok in self.config.eos_token_ids:
+                    break
+                logits = self.inference(token)
         t2 = time.perf_counter()
         if verbose:
             n = len(generated)
