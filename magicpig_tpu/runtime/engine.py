@@ -556,12 +556,19 @@ class LLM:
             generated.append(tok)
             while (len(generated) < max_tokens
                    and tok not in self.config.eos_token_ids):
-                n = min(16, max_tokens - len(generated))
-                chunk = np.asarray(self.decode_steps([tok], n))[:, 0]
+                # Fixed chunk size: every distinct n_steps is a separate
+                # decode-scan compile; overshooting the tail and trimming
+                # costs a few wasted steps instead of a fresh executable.
+                try:
+                    chunk = np.asarray(self.decode_steps([tok], 16))[:, 0]
+                except ValueError:   # generation buffer can't fit 16 more
+                    chunk = np.asarray(self.decode_steps(
+                        [tok], max_tokens - len(generated)))[:, 0]
                 for t in chunk:
                     tok = int(t)
                     generated.append(tok)
-                    if tok in self.config.eos_token_ids:
+                    if (tok in self.config.eos_token_ids
+                            or len(generated) >= max_tokens):
                         break
         else:
             for _ in range(max_tokens):
