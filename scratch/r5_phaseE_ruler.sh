@@ -36,7 +36,10 @@ run quest --estimator quest
 run topk --estimator topk
 # budget-matched diagnostics
 run topk25 --estimator topk --budget-frac 0.025 --tag _bf025 --tasks $DISC
-run bt25 --estimator block_topk --block-size 128 --budget-frac 0.025 \
+# block 256 is the smallest compiled block_attend admits at d=64
+# (rows/(fold) % 128); its 1-block floor realizes ~6% coverage — the
+# closest block_topk gets to lsh's ~2.5% at this context.
+run bt25 --estimator block_topk --block-size 256 --budget-frac 0.025 \
     --offload-quant int8 --tag _bf025 --tasks $DISC
 run lshL300 --estimator lsh --K 11 --L 300 --offload-quant int8 --tasks $DISC
 run lshnodb --estimator lsh --K 10 --L 150 --offload-quant int8 \
