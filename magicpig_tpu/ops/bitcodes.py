@@ -143,7 +143,13 @@ def plane_block(off_cap: int, fold: int, max_block: int = 32768) -> int:
     """Block size for the blocked plane layout: the largest divisor of
     `off_cap` that is <= max_block and a multiple of fold*32, preferring
     multiples of 4096 (wb = blk/32 lane-aligned to 128 — the shapes the
-    fused kernel's lane-concat extraction wants)."""
+    fused kernel's lane-concat extraction wants).
+
+    MAGICPIG_PLANE_BLOCK_MAX overrides max_block (block-size sweeps on
+    hardware; the layout is deterministic in (off_cap, fold, max_block),
+    so fill and decode in the SAME process always agree)."""
+    import os
+    max_block = int(os.environ.get("MAGICPIG_PLANE_BLOCK_MAX", max_block))
     best = 0
     for blk in range(min(off_cap, max_block), 0, -1):
         if off_cap % blk or blk % (fold * WORD):

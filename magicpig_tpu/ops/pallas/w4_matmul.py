@@ -45,11 +45,11 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, *, gpb: int, unpack8: bool):
     acc = jnp.zeros((m, ob), jnp.float32)
     for j in range(gpb):
         if unpack8:
-            # int8-native unpack: arithmetic shifts stay in int8 lanes
-            # (4 bytes/lane-slot vs the int32 widen's 1), quartering the
-            # VPU unpack instructions per streamed byte — the unpack was
-            # what held the kernel at ~110-200 GB/s effective vs the 310
-            # GB/s int8 stream floor (w4_verify.log round 4).
+            # int8-native unpack (would quarter VPU unpack instructions)
+            # — NOT LOWERABLE on this target: Mosaic has no arith.shli
+            # for vector<..xi8> ("failed to legalize", probe_r5/
+            # profile_8b.log), which is why the int32 widen is the
+            # default. Kept for interpret-mode A/B and future toolchains.
             wj8 = w_ref[j * 64:(j + 1) * 64, :]
             lo = ((wj8 << 4) >> 4).astype(jnp.bfloat16)   # inputs +[0, 64)
             hi = (wj8 >> 4).astype(jnp.bfloat16)          # inputs +[64, 128)
@@ -101,7 +101,7 @@ def w4_block_shapes(m: int, kin: int, out: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "unpack8"))
 def w4_matmul(x: jax.Array, q: jax.Array, scale: jax.Array,
-              interpret: bool = False, unpack8: bool = True) -> jax.Array:
+              interpret: bool = False, unpack8: bool = False) -> jax.Array:
     """x [M, kin] (any float dtype) @ group-int4 W -> f32 [M, out].
 
     q: packed int8 [kin//2, out] (layout contract above);

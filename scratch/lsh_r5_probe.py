@@ -73,21 +73,24 @@ def make_state(B):
     return kd, vf, k_norm, planes_b, k8f, v8f, ksc_f, vsc_f, length
 
 
-def scan_time(name, step_fn, qs, bytes_=None, n=NSTEP):
+def scan_time(name, step_fn, qs, big=(), bytes_=None, n=NSTEP):
+    """big: large device arrays passed as JIT ARGS (a closed-over array
+    >~150 MB becomes a compile-request constant and 413s the remote
+    compile — axon-tpu-measurement-pitfalls)."""
     @jax.jit
-    def run(qs):
+    def run(qs, *big):
         def body(carry, q):
-            out = step_fn(q)
+            out = step_fn(q, *big)
             return carry + jax.tree.leaves(out)[0].ravel()[0].astype(
                 jnp.float32), None
         total, _ = jax.lax.scan(body, jnp.float32(0), qs)
         return total
     t0 = time.perf_counter()
-    np.asarray(run(qs))
+    np.asarray(run(qs, *big))
     tc = time.perf_counter() - t0
     q2 = qs + jnp.asarray(1e-3, qs.dtype)
     t0 = time.perf_counter()
-    np.asarray(run(q2))
+    np.asarray(run(q2, *big))
     dt = (time.perf_counter() - t0) / n
     extra = f"  {bytes_/dt/1e9:7.1f} GB/s" if bytes_ else ""
     print(f"{name:56s} {dt*1e3:8.3f} ms{extra}  (compile {tc:.0f}s)",
@@ -126,16 +129,19 @@ for B in (1, 2):
     try:
         st = make_state(B)
         kd, vf, k_norm, planes_b, k8f, v8f, ksc_f, vsc_f, length = st
+        del kd, vf
         qs = jnp.asarray(rng.standard_normal((NSTEP, B, HQ, D)), jnp.float32)
+        big = (k8f, v8f, k_norm, planes_b, ksc_f, vsc_f)
         scan_time(f"fused2 scan+attend int8 B={B}",
-                  lambda q: lsh_fused_attention2(
+                  lambda q, k8f, v8f, k_norm, planes_b, ksc_f, vsc_f:
+                  lsh_fused_attention2(
                       q, k8f, v8f, k_norm, planes_b,
                       hash_bits(q, proj, K), length, K, L,
                       k_scale=ksc_f, v_scale=vsc_f),
-                  qs, bytes_=B * (PLANE_BYTES + KV_BYTES
-                                  + HKV * S * 4))  # + norms f32
+                  qs, big=big,
+                  bytes_=B * (PLANE_BYTES + KV_BYTES + HKV * S * 4))
         # round-4 two-stage incumbent on the same state (blocked unpack)
-        def two_stage(q):
+        def two_stage(q, k8f, v8f, k_norm, planes_b, ksc_f, vsc_f):
             qb = hash_bits(q, proj, K)
             w = collision_words(qb, planes_b)
             w = w & valid_words_blocked(length, S, BLK, FOLD)[:, None]
@@ -143,7 +149,7 @@ for B in (1, 2):
             return lsh_masked_attention(q, k8f, v8f, k_norm, m, K, L,
                                         k_scale=ksc_f, v_scale=vsc_f)
         scan_time(f"two-stage (XLA scan + attend kernel) B={B}",
-                  two_stage, qs,
+                  two_stage, qs, big=big,
                   bytes_=B * (PLANE_BYTES + KV_BYTES + HKV * S * 4))
     except Exception:
         print(f"[timing B={B}] FAILED:", flush=True)

@@ -113,15 +113,15 @@ def a2():
     from magicpig_tpu.ops.pallas.w4_matmul import w4_matmul
     w, kin, out = weights["w_gate"][0], H, INTER
     args_shape = (1, kin)
-    for u8 in (False, True):
-        results[f"unpack8_{u8}"] = timeit(
-            f"w4_matmul gate [{kin}->{out}] unpack8={u8}",
-            lambda x, u8=u8: w4_matmul(x, w.q, w.scale, unpack8=u8))
+    # unpack8=True is not lowerable on this target (no vector<i8> shli);
+    # only the int32-widen path is timed.
+    results["unpack32_gate"] = timeit(
+        f"w4_matmul gate [{kin}->{out}] (int32 unpack)",
+        lambda x: w4_matmul(x, w.q, w.scale))
     w2, kin2, out2 = weights["w_gateup"][0], H, 2 * INTER
-    for u8 in (False, True):
-        results[f"unpack8gu_{u8}"] = timeit(
-            f"w4_matmul gate|up [{kin2}->{out2}] unpack8={u8}",
-            lambda x, u8=u8: w4_matmul(x, w2.q, w2.scale, unpack8=u8))
+    results["unpack32_gateup"] = timeit(
+        f"w4_matmul gate|up [{kin2}->{out2}] (int32 unpack)",
+        lambda x: w4_matmul(x, w2.q, w2.scale))
 
 
 @section("B_layer_chain")
@@ -218,20 +218,20 @@ def csec():
 
     args_shape = (B, HKV * G, D)
 
-    def dense_step(q):
-        return S.decode_dense_layer(state, 0, q, kn, kn)[0]
+    def dense_step(q, st):
+        return S.decode_dense_layer(st, 0, q, kn, kn)[0]
 
-    def sparse_step(q):
-        out, st, _ = S.decode_sparse_layer(state, 0, q, kn, kn, proj, lsh)
+    def sparse_step(q, st):
+        out, _, _ = S.decode_sparse_layer(st, 0, q, kn, kn, proj, lsh)
         return out
 
     try:
         results["dense_layer_96k"] = timeit(
-            "dense layer decode (int8 flash_decode @96K)", dense_step)
+            "dense layer decode (int8 flash_decode @96K)", dense_step, state)
     except Exception:
         traceback.print_exc()
     results["sparse_layer_96k"] = timeit(
-        "block_topk4 sparse layer decode @96K", sparse_step)
+        "block_topk4 sparse layer decode @96K", sparse_step, state)
 
 
 @section("E_lsh_layer")
@@ -289,8 +289,8 @@ def esec():
         args_shape = (B, HKV * G, D)
         results[f"lsh_layer_96k_B{B}"] = timeit(
             f"lsh K10L150 sparse layer decode @96K B={B}",
-            lambda q: S.decode_sparse_layer(state, 0, q, kn, kn, proj,
-                                            lsh)[0], steps=32)
+            lambda q, st: S.decode_sparse_layer(st, 0, q, kn, kn, proj,
+                                                lsh)[0], state, steps=32)
 
 
 @section("D_glue")
