@@ -139,11 +139,14 @@ def valid_words(lengths: jax.Array, w: int) -> jax.Array:
 # words); only pack/unpack/valid change.
 
 
-def plane_block(off_cap: int, fold: int, max_block: int = 32768) -> int:
+def plane_block(off_cap: int, fold: int, max_block: int = 49152) -> int:
     """Block size for the blocked plane layout: the largest divisor of
     `off_cap` that is <= max_block and a multiple of fold*32, preferring
     multiples of 4096 (wb = blk/32 lane-aligned to 128 — the shapes the
-    fused kernel's lane-concat extraction wants).
+    fused kernel's lane-concat extraction wants). max_block=49152 is the
+    measured optimum at the bench's B=2 96K point (1.524 ms/layer kernel
+    = ~331 GB/s, at the mixed int32/int8 stream floor; 32768 ran 1.037 at
+    B=1 / slower at B=2, 98304 best at B=1 only — blk sweep 2026-08-20).
 
     MAGICPIG_PLANE_BLOCK_MAX overrides max_block (block-size sweeps on
     hardware; the layout is deterministic in (off_cap, fold, max_block),

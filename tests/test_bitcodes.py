@@ -207,7 +207,7 @@ def test_build_planes_blocked_matches_pack():
 
 def test_plane_block():
     from magicpig_tpu.ops.bitcodes import plane_block
-    assert plane_block(98304, 2) == 32768
+    assert plane_block(98304, 2) == 49152
     assert plane_block(12288, 2) == 12288
     assert plane_block(8192, 2) == 8192
     assert plane_block(4096, 1) == 4096
