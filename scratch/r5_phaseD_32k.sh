@@ -16,6 +16,6 @@ fi
 timeout 21600 python examples/estimator_accuracy.py \
     --ckpt data/needle_ckpt_32k.npz --contexts 32768 --samples 500 \
     --needles 2 \
-    --estimators "full,lsh_K10L150,lsh_K10L150_int8,quest_4pct,block_topk4_flagship,topk_2pct" \
+    --estimators "full,lsh_K10L150,quest_4pct,block_topk4_flagship,topk_2pct" \
     --out $R 2>&1 | tail -15
 echo "PHASE D DONE"
