@@ -7,7 +7,7 @@ mkdir -p results/accuracy_r5
 R=results/accuracy_r5
 if [ ! -f data/needle_ckpt_32k.npz ]; then
   timeout 10800 python examples/train_needle.py --init data/needle_ckpt_16k.npz \
-      --seq 32768 --min-seq 8192 --batch 4 --steps 500 --needles 2 \
+      --seq 32768 --min-seq 8192 --batch 4 --steps 400 --needles 2 \
       --hop-frac 0.3 --lr 5e-5 --out data/needle_ckpt_32k.npz \
       > $R/train_32k.log 2>&1
   rc=$?; tail -4 $R/train_32k.log; echo "train_32k rc=$rc"
