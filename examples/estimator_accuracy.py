@@ -207,6 +207,15 @@ def main():
             # sqrt(acc*(1-acc)/n) binomial CI) — a reviewer must be able to
             # tell an n=150 row from an n=500 row without reading prose.
             f.write("context,estimator,accuracy,avg_sparsity,n\n")
+    # Resume: a watchdog relaunch after a dispatch wedge must not redo
+    # finished (context, estimator, n) cells.
+    done_rows = set()
+    with open(csv_path) as f:
+        next(f)
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) >= 5:
+                done_rows.add((parts[0], parts[1], parts[4]))
 
     for ctx in contexts:
         samples = []
@@ -219,6 +228,11 @@ def main():
             keep = args.estimators.split(",")
             configs = {n: c for n, c in configs.items() if n in keep}
         for name, lsh in configs.items():
+            if any(d[0] == str(ctx) and d[1] == f"{name}{suffix}"
+                   for d in done_rows):
+                print(f"ctx={ctx} {name}{suffix}: done (resume skip)",
+                      flush=True)
+                continue
             llm = LLM(cfg, batch_size=1, max_length=ctx + 256,
                       chunk_size=min(2048, ctx), params=params, lsh=lsh,
                       seed=0)
@@ -226,7 +240,10 @@ def main():
             correct = 0
             total = 0
             t0 = time.time()
-            for toks, queries in samples:
+            for si, (toks, queries) in enumerate(samples):
+                if si and si % 100 == 0:  # watchdog heartbeat
+                    print(f"  .. {name} {si}/{len(samples)} "
+                          f"({time.time() - t0:.0f}s)", flush=True)
                 llm.release_slot(0)
                 llm.prefill(toks, request_id=0)
                 for j, (marker, kq, vq) in enumerate(queries):
@@ -256,8 +273,9 @@ def main():
     for ctx in contexts:
         cells = []
         for n in names:
-            acc = next(a for c, nm, a, _ in rows if c == ctx and nm == n)
-            cells.append(f"{acc:.3f}")
+            acc = next((a for c, nm, a, _ in rows if c == ctx and nm == n),
+                       None)  # None: resume-skipped; row is in the CSV
+            cells.append("-" if acc is None else f"{acc:.3f}")
         print(f"| {ctx} | " + " | ".join(cells) + " |")
     print(f"\nwrote {args.out}/{csv_name}")
 

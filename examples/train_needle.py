@@ -234,21 +234,50 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, acc
 
+    # Wedge-recovery rolling save: the axon dispatch can hang a process
+    # forever mid-run; a watchdog kills and relaunches, and this resume
+    # path skips completed steps (params from the partial; fresh opt
+    # state — acceptable for a fine-tune stage). Batches are drawn from
+    # the SAME seeded rng stream, with pre-resume draws burned so the
+    # data order is unchanged.
+    partial = args.out + ".partial.npz"
+    start = 0
+    if args.init and os.path.exists(partial):
+        pdata = np.load(partial, allow_pickle=False)
+        if "step" in pdata:
+            start = int(pdata["step"]) + 1
+            leaves, treedef = jax.tree.flatten(params)
+            saved = [pdata[f"leaf_{i}"] for i in range(int(pdata["n"]))]
+            params = jax.tree.unflatten(treedef, [
+                jnp.asarray(s, t.dtype) if t.shape == s.shape else t
+                for t, s in zip(leaves, saved)])
+            print(f"resumed from {partial} at step {start}", flush=True)
+
     rng = np.random.default_rng(args.seed + 1)
     t0 = time.time()
     for i in range(args.steps):
         toks, tgt, msk = make_batch(rng, args.batch, args.seq, args.needles,
                                     min_seq=args.min_seq,
                                     hop_frac=args.hop_frac)
+        if i < start:
+            continue
         params, opt_state, loss, acc = step(params, opt_state,
                                             jnp.asarray(toks),
                                             jnp.asarray(tgt),
                                             jnp.asarray(msk))
-        if i % 100 == 0 or i == args.steps - 1:
+        if i % 20 == 0 or i == args.steps - 1:
             print(f"step {i}: loss {float(loss):.4f} acc {float(acc):.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+        if (i % 100 == 0 or i == args.steps - 1):
+            if i > start:
+                leaves, _ = jax.tree.flatten(params)
+                np.savez(partial, n=len(leaves), step=i,
+                         **{f"leaf_{j}": np.asarray(l)
+                            for j, l in enumerate(leaves)})
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     save_params(params, args.out)
+    if os.path.exists(partial):
+        os.remove(partial)
     print(f"saved {args.out}")
 
 

@@ -20,21 +20,22 @@ DISC="niah_single_1 niah_single_2 niah_single_3 niah_multikey_1 niah_multiquery 
 run() {  # run <log> <extra args...>
     local log=$1; shift
     echo "=== $log: $*" | tee -a $OUT/runbook.log
-    timeout 10800 python examples/ruler_eval.py --npz $CK --seq $SEQ \
-        --samples $N --max-length $ML --out $OUT "$@" \
-        > $OUT/$log.log 2>&1
+    # watchdog: axon dispatch-wedge kills this leg's predecessor; every
+    # run is prediction-file resumable, so stall -> kill pgid -> relaunch
+    python scratch/watchdog.py --stall 600 --retries 4 --timeout 9000 \
+        --log $OUT/$log.log --watch "$OUT/**/*.jsonl" -- \
+        python examples/ruler_eval.py --npz $CK --seq $SEQ \
+        --samples $N --max-length $ML --out $OUT "$@"
     local rc=$?
     tail -3 $OUT/$log.log | tee -a $OUT/runbook.log
     echo "=== $log rc=$rc" | tee -a $OUT/runbook.log
 }
 
-# headline 13-task rows
+# anchors (needed by both the headline table and the diagnostics)
 run full --K 0
 run lsh --estimator lsh --K 10 --L 150 --offload-quant int8
-run bt4 --estimator block_topk --offload-quant int4 --tag _bt4
-run quest --estimator quest
-run topk --estimator topk
-# budget-matched diagnostics
+# budget-matched diagnostics (VERDICT #2) — run BEFORE the headline
+# extras so a schedule squeeze drops lower-value rows first
 run topk25 --estimator topk --budget-frac 0.025 --tag _bf025 --tasks $DISC
 # block 256 is the smallest compiled block_attend admits at d=64
 # (rows/(fold) % 128); its 1-block floor realizes ~6% coverage — the
@@ -44,4 +45,8 @@ run bt25 --estimator block_topk --block-size 256 --budget-frac 0.025 \
 run lshL300 --estimator lsh --K 11 --L 300 --offload-quant int8 --tasks $DISC
 run lshnodb --estimator lsh --K 10 --L 150 --offload-quant int8 \
     --debias none --tag _nodebias --tasks $DISC
+# headline extras (VERDICT #4: Quest/TopK RULER rows)
+run bt4 --estimator block_topk --offload-quant int4 --tag _bt4
+run quest --estimator quest
+run topk --estimator topk
 echo "PHASE E DONE"
