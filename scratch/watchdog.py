@@ -95,14 +95,42 @@ def main():
                 why = "stall" if wedged else "overall timeout"
                 print(f"[watchdog] {why} after {t-last_t:.0f}s silent; "
                       f"killing pgid {proc.pid}", flush=True)
+                # SIGTERM first: a clean client exit releases the chip
+                # claim server-side. SIGKILL leaves the claim held until
+                # a server timeout, which poisons (wedges) the NEXT
+                # process's claim — observed three-in-a-row on 2026-08-21.
                 try:
-                    os.killpg(proc.pid, signal.SIGKILL)
+                    os.killpg(proc.pid, signal.SIGTERM)
                 except OSError:
-                    proc.kill()
-                proc.wait()
+                    proc.terminate()
+                try:
+                    proc.wait(timeout=20)
+                except subprocess.TimeoutExpired:
+                    try:
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    except OSError:
+                        proc.kill()
+                    proc.wait()
                 break
         if not wedged and time.time() - t_start > args.timeout:
             return 124
+        # Don't burn a stall window on a poisoned claim: probe with a
+        # trivial chip program until it answers, THEN relaunch.
+        for i in range(20):
+            try:
+                subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp; "
+                     "print((jnp.ones((128,128), jnp.bfloat16) @ "
+                     "jnp.ones((128,128), jnp.bfloat16)).sum())"],
+                    capture_output=True, timeout=120, check=True)
+                print(f"[watchdog] chip preflight ok (try {i})", flush=True)
+                break
+            except (subprocess.TimeoutExpired,
+                    subprocess.CalledProcessError):
+                print(f"[watchdog] chip preflight failed (try {i}); "
+                      f"waiting", flush=True)
+                time.sleep(15)
         time.sleep(5)
     print(f"[watchdog] retries exhausted", flush=True)
     return 1
