@@ -169,7 +169,7 @@ def worker(args):
     }), flush=True)
 
 
-CLAIM_WINDOW = 210  # s: healthy workers print "claim ok" in <60s
+CLAIM_WINDOW = 600  # s: claims queue up to ~10 min behind an uncleanly released claim
 
 
 class ClaimWedge(Exception):
@@ -305,7 +305,7 @@ def main():
                         "int4 = W4A8 grouped weights (halves the weight "
                         "stream again; the 8B@96K single-chip config); "
                         "none = bf16 weights everywhere")
-    p.add_argument("--attempt-timeout", type=int, default=1000)
+    p.add_argument("--attempt-timeout", type=int, default=1800)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--worker", type=str, default=None, help=argparse.SUPPRESS)
     p.add_argument("--batch-split", action="store_true",
@@ -449,14 +449,24 @@ def main():
             try:
                 out = run_attempt(cmd, worker_env(), args.attempt_timeout)
             except ClaimWedge:
-                # Backend-init hang, not a property of (mode, B): retry
-                # the same batch after letting the claim settle.
+                # Backend-init hang, not a property of (mode, B). A
+                # SIGKILLed claim stays held server-side ~10 min and
+                # poisons immediate retries — probe with a trivial op
+                # until the pool answers, THEN relaunch the same batch.
                 wedge_retries += 1
                 if wedge_retries <= 4:
                     print(f"# {mode}: B={B} claim wedge (no device op in "
-                          f"{CLAIM_WINDOW}s); retrying same B "
+                          f"{CLAIM_WINDOW}s); probing pool before retry "
                           f"({wedge_retries}/4)", file=sys.stderr)
-                    time.sleep(45)
+                    for probe in range(6):
+                        if preflight_healthy():
+                            print(f"# {mode}: pool answered (probe "
+                                  f"{probe}); relaunching B={B}",
+                                  file=sys.stderr)
+                            break
+                        print(f"# {mode}: pool probe {probe} silent; "
+                              f"waiting", file=sys.stderr)
+                        time.sleep(30)
                     continue
                 skips.setdefault(mode, "persistent claim wedge")
                 print(f"# {mode}: persistent claim wedge; giving up mode",
