@@ -8,6 +8,15 @@ export PYTHONPATH=/root/repo:${PYTHONPATH}
 cd /root/repo || exit 1
 mkdir -p results/accuracy_r5
 R=results/accuracy_r5
+# Budget-matched quest row first (completes the RULER diagnosis grid;
+# ~10 min) — skipped if its summary already exists.
+if [ ! -f results/ruler_r5/ruler-byte-lm_seq1152_quest_K10L150_bf025/summary.csv ]; then
+  python scratch/watchdog.py --stall 600 --retries 3 --timeout 3600 \
+      --log results/ruler_r5/q25.log \
+      --watch 'results/ruler_r5/**/*.jsonl' -- \
+      python scratch/r5_ruler_q25.py
+  echo "q25 rc=$?"
+fi
 if [ ! -f data/needle_ckpt_32k.npz ]; then
   python scratch/watchdog.py --stall 600 --retries 5 --timeout 9000 \
       --log $R/train_32k.log \
