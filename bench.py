@@ -169,7 +169,7 @@ def worker(args):
     }), flush=True)
 
 
-CLAIM_WINDOW = 600  # s: claims queue up to ~10 min behind an uncleanly released claim
+CLAIM_WINDOW = 1200  # s: claims queue minutes behind prior releases; killing early resets the queue
 
 
 class ClaimWedge(Exception):
@@ -458,6 +458,7 @@ def main():
                     print(f"# {mode}: B={B} claim wedge (no device op in "
                           f"{CLAIM_WINDOW}s); probing pool before retry "
                           f"({wedge_retries}/4)", file=sys.stderr)
+                    time.sleep(120)   # let the killed claim's release drain
                     for probe in range(6):
                         if preflight_healthy():
                             print(f"# {mode}: pool answered (probe "

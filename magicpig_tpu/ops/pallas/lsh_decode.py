@@ -244,8 +244,11 @@ def lsh_masked_attention(q: jax.Array, k_centered: jax.Array, v: jax.Array,
     k2 = k_centered.reshape(b, hkv, s // fold, lane)
     v2 = v.reshape(b, hkv, s // fold, lane)
     # Fold-permuted streams: token t = R*fold + f -> [.., f, R].
-    norm_f = k_norm.astype(jnp.float32).reshape(
-        b, hkv, s // fold, fold).transpose(0, 1, 3, 2)   # [B,Hkv,fold,S/f]
+    if k_norm.ndim == 4:            # fold-major state layout (state.py)
+        norm_f = k_norm.astype(jnp.float32)
+    else:                           # token-order [B,Hkv,S] (tests/oracles)
+        norm_f = k_norm.astype(jnp.float32).reshape(
+            b, hkv, s // fold, fold).transpose(0, 1, 3, 2)
     # Mask in the scorer's fold-major row order (row f*G + g, col R) —
     # int8: the kernel only tests > 0, and the int32 stream was 4x the
     # bytes (12.6 MB r+w per layer at 96K).

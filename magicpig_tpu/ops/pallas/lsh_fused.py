@@ -259,8 +259,11 @@ def lsh_fused_attention2(q: jax.Array, k2: jax.Array, v2: jax.Array,
     q2 = jnp.zeros((b, hkv, gf, lane), q.dtype)
     for f in range(fold):
         q2 = jax.lax.dynamic_update_slice(q2, qh, (0, 0, f * g, f * d))
-    norm_f = k_norm.astype(jnp.float32).reshape(
-        b, hkv, s // fold, fold).transpose(0, 1, 3, 2)   # [B,Hkv,fold,S/f]
+    if k_norm.ndim == 4:            # fold-major state layout (state.py)
+        norm_f = k_norm.astype(jnp.float32)
+    else:                           # token-order [B,Hkv,S] (tests/oracles)
+        norm_f = k_norm.astype(jnp.float32).reshape(
+            b, hkv, s // fold, fold).transpose(0, 1, 3, 2)
     if quant:
         ksc_f = k_scale.astype(jnp.float32)
         vsc_f = v_scale.astype(jnp.float32)

@@ -114,7 +114,7 @@ def state_pspecs(state: DecodeState) -> DecodeState:
         off_v_scale=per(state.off_v_scale,
                         P("data", "model", None, None)),
         off_len=P("data"),
-        k_norm=per(state.k_norm, P("data", "model", None)),
+        k_norm=per(state.k_norm, P("data", "model", None, None)),
         avg_k=per(state.avg_k, P("data", "model", None)),
         planes=per(state.planes, P("data", "model", None, None, None)),
         quest_min=per(state.quest_min, kv),

@@ -190,6 +190,16 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
                          _write_request(leaf, _pad_to(leaf, val_seq_major),
                                         req))
 
+    def wr_fold(bufs, i, val):                          # val [cap, Hkv]
+        """Write a per-token column into fold-major storage
+        [B, Hkv, fold, cap/fold] (the layout the fused kernels stream;
+        see state.py k_norm/off_*_scale)."""
+        leaf = bufs[i]
+        _, lhkv, lfold, cols = leaf.shape
+        v = jnp.moveaxis(val.astype(leaf.dtype), 1, 0)  # [Hkv, cap]
+        folded = v.reshape(lhkv, cols, lfold).transpose(0, 2, 1)
+        return tuple_set(bufs, i, _write_request(leaf, folded, req))
+
     if lsh.estimator == "lsh":
         valid = (jnp.arange(off_cap) < off_len)[:, None, None]
         off_k_f = off_k.astype(jnp.float32) * valid
@@ -213,7 +223,7 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
             planes = build_planes(centered, projections, lsh.K)
         hot_k = (hot_k.astype(jnp.float32) - avg[None]).astype(k_full.dtype)
         state = state.replace(
-            k_norm=wr(state.k_norm, si, k_norm),
+            k_norm=wr_fold(state.k_norm, si, k_norm),
             planes=tuple_set(state.planes, si,
                              _write_request(state.planes[si], planes, req)),
             avg_k=tuple_set(state.avg_k, si,
@@ -259,12 +269,7 @@ def fill_sparse_layer(state: DecodeState, si: int, req: jax.Array,
         off_k, k_scale = quantize_rows(off_k, lsh.offload_k_bits)
         off_v, v_scale = quantize_rows(off_v)
 
-        def wr_scale(bufs, i, val):                         # val [cap, Hkv]
-            leaf = bufs[i]                  # [B, Hkv, fold, off_cap/fold]
-            _, lhkv, lfold, cols = leaf.shape
-            v = jnp.moveaxis(val.astype(leaf.dtype), 1, 0)  # [Hkv, cap]
-            folded = v.reshape(lhkv, cols, lfold).transpose(0, 2, 1)
-            return tuple_set(bufs, i, _write_request(leaf, folded, req))
+        wr_scale = wr_fold
 
         if packed:
             from magicpig_tpu.ops.pack4 import group_scales
@@ -509,15 +514,16 @@ def _lsh_partial(state, si, q, projections, lsh):
                       dtype=jnp.int32)
     frac = sampled / jnp.maximum(state.off_len.sum() * hq, 1)
 
+    k_norm_tok = _scale_tokens(state.k_norm[si])   # token order [B,Hkv,cap]
     if lsh.decode_mode == "sampled":
         budget = lsh.sample_budget(off_cap)
         ids, ids_valid = mask_to_budget_ids(mask, budget)
         out, lse = lsh_sampled_decode(
-            q, off_k, off_v, state.k_norm[si], ids,
+            q, off_k, off_v, k_norm_tok, ids,
             ids_valid, lsh.K, lsh.L)
     else:
         out, lse = lsh_masked_decode(
-            q, off_k, off_v, state.k_norm[si], mask,
+            q, off_k, off_v, k_norm_tok, mask,
             state.off_len, lsh.K, lsh.L, debias=lsh.lsh_debias)
     return out, lse, frac
 

@@ -71,7 +71,8 @@ class DecodeState:
     off_len: jax.Array        # [B] i32
 
     # LSH-only state (empty tuples for other estimators):
-    k_norm: ArrayTuple        # per-layer [B, Hkv, off_cap] f32 centered norms
+    k_norm: ArrayTuple        # per-layer [B,Hkv,fold,off_cap/fold] f32
+                              # fold-major centered norms (scale layout)
     avg_k: ArrayTuple         # per-layer [B, Hkv, d] f32
     planes: ArrayTuple        # per-layer [B, Hkv, L, K, W] i32 bit-planes
 
@@ -173,7 +174,13 @@ def init_state(config: ModelConfig, lsh: LSHConfig, batch_size: int,
         off_v_scale=per_layer(ns if quant else 0,
                               (b, hkv, fold, off_cap // fold), jnp.float32),
         off_len=jnp.zeros((b,), jnp.int32),
-        k_norm=per_layer(ns if is_lsh else 0, (b, hkv, off_cap), jnp.float32),
+        # Fold-major like the scales: the fused LSH kernel consumes
+        # [B,Hkv,fold,cap/fold] directly. Storing unfolded cost a
+        # per-layer transpose in the decode program whose T(8,128)
+        # intermediate padded 16x (96 MB/layer at B=2/96K) — the round-5
+        # lsh B=2 compile-OOM.
+        k_norm=per_layer(ns if is_lsh else 0,
+                         (b, hkv, fold, off_cap // fold), jnp.float32),
         avg_k=per_layer(ns if is_lsh else 0, (b, hkv, d), jnp.float32),
         planes=per_layer(ns if is_lsh else 0,
                          (b, hkv, L, K, num_words(off_cap)), jnp.int32),
