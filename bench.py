@@ -522,11 +522,23 @@ def main():
                   f"[full log: {diag}]", file=sys.stderr)
             is_mosaic = ("MosaicError" in stderr
                          or "Mosaic failed to compile" in stderr)
-            # Check Mosaic FIRST: the remote compile helper's log spews
+            is_oom = (("RESOURCE_EXHAUSTED" in stderr
+                       and "out of memory" in stderr.lower())
+                      # Remote-compile HBM overflow surfaces as an HTTP 500
+                      # from tpu_compile_helper with this text — and with
+                      # benign TPU_WORKER_HOSTNAMES noise around it that the
+                      # INFRA_SIGS check would otherwise misread as a claim
+                      # flake (the round-5 lsh B=2 row was lost to exactly
+                      # that: a compile OOM retried twice as "infra" then
+                      # the whole mode given up instead of shrinking B).
+                      or "Ran out of memory in memory space hbm" in stderr
+                      or "Exceeded hbm capacity" in stderr)
+            # Check Mosaic/OOM FIRST: the remote compile helper's log spews
             # benign libtpu-init warnings (TPU_WORKER_HOSTNAMES et al.)
             # around the REAL kernel error, so infra signatures only count
             # when no kernel failure is present.
-            if not is_mosaic and any(sig in stderr for sig in INFRA_SIGS):
+            if (not is_mosaic and not is_oom
+                    and any(sig in stderr for sig in INFRA_SIGS)):
                 # Environment/claim flake — nothing about (mode, B) failed.
                 # Retry at the SAME batch instead of shrinking it.
                 infra_retries += 1
@@ -564,8 +576,6 @@ def main():
                 B -= 1
                 retried = False
                 continue
-            is_oom = ("RESOURCE_EXHAUSTED" in stderr
-                      and "out of memory" in stderr.lower())
             if is_oom:
                 if B <= 1:
                     # A mode whose B=1 does not fit is a capacity fact, not
